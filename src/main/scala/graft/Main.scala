@@ -1,0 +1,76 @@
+package graft
+
+import graft.changelog.{ChangelogGenerator, ChangelogSpec}
+import graft.core.Types
+import graft.lake.LakeTable
+import graft.streaming.{Bootstrap, CdcPipeline}
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry — the analog of the reference's run modes
+  * (reference: main.go:48-55,99-119,148-189: default run, -stock, -status).
+  *
+  * {{{
+  *   graft.Main gen <logDir> [nEvents] [nConversations]   # synth changelog
+  *   graft.Main init <tableDir> [numBuckets]              # create lake table
+  *   graft.Main run <logDir> <tableDir> <checkpointDir>   # drain changelog → MERGE
+  *   graft.Main bootstrap <parquetPath> <tableDir>        # stock/full-snapshot load
+  *   graft.Main status <tableDir>                         # table + lineage status
+  * }}}
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try dispatch(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def dispatch(spark: SparkSession, args: List[String]): Unit = args match {
+    case "gen" :: dir :: rest =>
+      val n = rest.headOption.map(_.toLong).getOrElse(100000L)
+      val nConv = rest.drop(1).headOption.map(_.toInt).getOrElse(2000)
+      ChangelogGenerator.write(spark, ChangelogSpec(nEvents = n, nConversations = nConv,
+        chunkSize = math.max(1000L, n / 20)), dir)
+      println(s"wrote changelog: $dir ($n events, $nConv conversations)")
+
+    case "init" :: dir :: rest =>
+      val buckets = rest.headOption.map(_.toInt).getOrElse(32)
+      LakeTable.create(spark, dir, Types.transcriptSchemaV0,
+        Types.transcriptKey, Seq("conv_id"), buckets)
+      println(s"created table: $dir (buckets=$buckets, schema_id=0)")
+
+    case "run" :: log :: tableDir :: cp :: _ =>
+      val table = LakeTable.load(spark, tableDir)
+      CdcPipeline.runToCompletion(spark, table, CdcPipeline.Config(log, cp))
+      val m = table.refresh()
+      println(s"applied through epoch=${m.lastEpoch} offset=${m.lastOffset}; " +
+        s"rows=${table.snapshot().count()} version=${m.version} schema_id=${m.schemaId}")
+
+    case "bootstrap" :: parquet :: tableDir :: _ =>
+      val table = LakeTable.load(spark, tableDir)
+      val res = Bootstrap.run(table, spark.read.parquet(parquet))
+      println(s"bootstrap: upserted=${res.upserted} buckets=${res.touchedBuckets}")
+
+    case "status" :: tableDir :: _ =>
+      val table = LakeTable.load(spark, tableDir)
+      val m = table.meta
+      println(s"version=${m.version} schema_id=${m.schemaId} lastEpoch=${m.lastEpoch} " +
+        s"lastOffset=${m.lastOffset} files=${m.files.size} buckets=${m.numBuckets}")
+      println(s"rows=${table.snapshot().count()}")
+      println("lineage (last 10 commits):")
+      table.lineage().orderBy(org.apache.spark.sql.functions.desc("epoch"))
+        .show(10, truncate = false)
+
+    case other =>
+      System.err.println(s"unknown args: ${other.mkString(" ")}")
+      System.err.println("usage: gen|init|run|bootstrap|status ...")
+      sys.exit(2)
+  }
+}
