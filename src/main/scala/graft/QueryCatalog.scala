@@ -1,0 +1,465 @@
+package graft
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.lake.LakeTable
+import graft.merge.MergeInto
+import graft.rules.{ChangefeedOut, EventTransform, KeySpec, Rule, RulePipeline, SinkOp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Every operator from SURVEY.md §2 (and the training-data pipeline ops)
+  * exposed as a (SparkSession, sfDir) ⇒ DataFrame with, where SQL can express
+  * it, a DuckDB oracle — the driver's correctness gate.
+  *
+  * The `events` table doubles as a change log: key = (user_id, slot) with
+  * slot = event_id % 40, pos = event_id, and op mapped from event_type
+  * (error→delete, click/view→update, else insert) — deterministic and
+  * reproducible in ANSI SQL, so the MERGE/LWW semantics are oracle-checkable.
+  */
+object QueryCatalog {
+
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** events → merge-input change stream (see class doc for the mapping). */
+  def eventsAsChanges(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events").select(
+      when(col("event_type") === "error", "delete")
+        .when(col("event_type").isin("click", "view"), "update")
+        .otherwise("insert").as("_op"),
+      col("event_id").as("_pos"),
+      col("ts").as("_event_ts"),
+      col("user_id"),
+      (col("event_id") % 40).cast("int").as("slot"),
+      col("event_type"),
+      col("value"),
+      col("ts"))
+
+  private val changeOpSql =
+    "CASE WHEN event_type = 'error' THEN 'delete' " +
+      "WHEN event_type IN ('click','view') THEN 'update' ELSE 'insert' END"
+
+  // ---------------------------------------------------------------- CDC core
+
+  /** FLAGSHIP: replay the events change stream through the real engine —
+    * chunked micro-batches → LWW MERGE → LakeTable snapshot — and return the
+    * final table state. The oracle recomputes the same final state in pure
+    * SQL (window LWW). Exercises S1-S4, P5/P10, K6-equivalent MERGE, B2-B5.
+    */
+  def cdcReplayMerge(s: SparkSession, dir: String): DataFrame = {
+    val input = eventsAsChanges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tableSchema = org.apache.spark.sql.types.StructType(
+        input.schema.fields.filterNot(f => Set("_op", "_pos", "_event_ts")(f.name)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_replay")
+      val table = LakeTable.create(s, s"$tmp/table", tableSchema,
+        keyCols = Seq("user_id", "slot"), bucketCols = Seq("user_id"), numBuckets = 16)
+      val maxPos = input.agg(max("_pos")).head().getLong(0)
+      val nBatches = 8L
+      val step = maxPos / nBatches + 1
+      (0L until nBatches).foreach { e =>
+        MergeInto.merge(table,
+          input.where(col("_pos") >= e * step && col("_pos") < (e + 1) * step), e)
+      }
+      table.snapshot().orderBy("user_id", "slot")
+    } finally input.unpersist()
+  }
+
+  val cdcReplayMergeSql: String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, CAST(event_id % 40 AS INT) AS slot, event_type, value, ts,
+       |         $changeOpSql AS op,
+       |         row_number() OVER (PARTITION BY user_id, event_id % 40
+       |                            ORDER BY event_id DESC) AS rn
+       |  FROM events)
+       |SELECT user_id, slot, event_type, value, ts
+       |FROM ranked WHERE rn = 1 AND op <> 'delete'
+       |ORDER BY user_id, slot""".stripMargin
+
+  /** In-batch LWW dedup operator in isolation (SURVEY §2.6). */
+  def cdcLwwDedup(s: SparkSession, dir: String): DataFrame =
+    MergeInto.lwwDedup(eventsAsChanges(s, dir), Seq("user_id", "slot"))
+      .select(col("user_id"), col("slot"), col("_op").as("op"), col("_pos").as("pos"))
+      .orderBy("user_id", "slot")
+
+  val cdcLwwDedupSql: String =
+    s"""SELECT user_id, CAST(event_id % 40 AS INT) AS slot, $changeOpSql AS op,
+       |       event_id AS pos
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_id % 40
+       |                                   ORDER BY event_id DESC) AS rn FROM events)
+       |WHERE rn = 1 ORDER BY user_id, slot""".stripMargin
+
+  /** Salted two-phase LWW dedup (skew path) — must equal the plain one. */
+  def cdcLwwDedupSalted(s: SparkSession, dir: String): DataFrame =
+    MergeInto.lwwDedup(eventsAsChanges(s, dir), Seq("user_id", "slot"), salt = 8)
+      .select(col("user_id"), col("slot"), col("_op").as("op"), col("_pos").as("pos"))
+      .orderBy("user_id", "slot")
+
+  /** S3 table-routing filter. */
+  def cdcRouteFilter(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  val cdcRouteFilterSql: String =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE event_type IN ('click','view') ORDER BY event_id""".stripMargin
+
+  /** P1+P2 include/exclude + rename via the rule pipeline. */
+  def cdcProjectRename(s: SparkSession, dir: String): DataFrame =
+    RulePipeline(read(s, dir, "events"),
+      Rule(includeColumns = Seq("event_id", "user_id", "value"),
+        columnMappings = Map("event_id" -> "id", "user_id" -> "uid")))
+      .orderBy("id")
+
+  val cdcProjectRenameSql: String =
+    "SELECT event_id AS id, user_id AS uid, value FROM events ORDER BY id"
+
+  /** P3+P4 default constant columns + UPPER-case name transform. */
+  def cdcDefaultsCase(s: SparkSession, dir: String): DataFrame =
+    RulePipeline(read(s, dir, "nation"),
+      Rule(includeColumns = Seq("n_nationkey", "n_name"),
+        defaultColumns = Seq("source" -> "mysql"),
+        caseTransform = Some("upper")))
+      .orderBy("N_NATIONKEY")
+
+  val cdcDefaultsCaseSql: String =
+    """SELECT n_nationkey AS "N_NATIONKEY", n_name AS "N_NAME", 'mysql' AS "SOURCE"
+      |FROM nation ORDER BY 1""".stripMargin
+
+  /** P7 kv-commas value encoding. */
+  def cdcEncodeKv(s: SparkSession, dir: String): DataFrame = {
+    val base = read(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(10,2)").as("value"))
+    base.select(col("event_id"),
+      RulePipeline.encodeValue(base, "kv-commas").as("kv"))
+      .orderBy("event_id")
+  }
+
+  val cdcEncodeKvSql: String =
+    """SELECT event_id,
+      |  'event_id=' || event_id || ',event_type=' || event_type ||
+      |  ',value=' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS kv
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P8 template + P10 composite-PK key derivation. */
+  def cdcTemplateKey(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      RulePipeline.template("{{.l_orderkey}}-{{.l_linenumber}}").as("tkey"),
+      RulePipeline.keyColumn(
+        KeySpec.PrimaryKey(Seq("l_orderkey", "l_linenumber"), "|")).as("pkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val cdcTemplateKeySql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS tkey,
+      |  CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) AS pkey
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P9 date reformat (Java patterns native to Spark). */
+  def cdcDateFormat(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .orderBy("day")
+
+  val cdcDateFormatSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** P5 type conversions incl. JSON field extraction. */
+  def cdcTypeCast(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events").select(
+      col("event_id"),
+      col("event_id").cast("string").as("id_str"),
+      col("value").cast("decimal(10,2)").cast("string").as("value_str"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  val cdcTypeCastSql: String =
+    """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
+      |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value_str,
+      |  strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(props->>'$.k' AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** K11-K13 changefeed-out message key/action/timestamp (oracle-checkable
+    * projection of the MQ message; keyed — unlike the reference's random
+    * partitioner — to preserve per-key order).
+    */
+  def cdcChangefeed(s: SparkSession, dir: String): DataFrame =
+    eventsAsChanges(s, dir).select(
+      concat_ws("|", col("user_id").cast("string"), col("slot").cast("string")).as("key"),
+      col("_op").as("action"),
+      unix_timestamp(col("_event_ts")).as("tsec"),
+      col("_pos").as("pos"))
+      .orderBy("pos")
+
+  val cdcChangefeedSql: String =
+    s"""SELECT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(event_id % 40 AS INT) AS VARCHAR) AS key,
+       |  $changeOpSql AS action,
+       |  CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       |  event_id AS pos
+       |FROM events ORDER BY pos""".stripMargin
+
+  /** Full MQ JSON message shape (reserve_raw_data on) — JSON text differs
+    * across engines, so rows-only.
+    */
+  def cdcChangefeedJson(s: SparkSession, dir: String): DataFrame =
+    ChangefeedOut.toMessages(eventsAsChanges(s, dir).drop("ts"),
+      Seq("user_id", "slot"), reserveRawData = true)
+
+  /** §2.7 script/UDTF surface: a typed flatMap emitting 0..n sink ops per
+    * event — the Lua-script analog (delete→DEL; click/view→SET+ZADD;
+    * else→SET).
+    */
+  def cdcScriptTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = read(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .as[(Long, String, Long, Double)]
+    val transform = new EventTransform[(Long, String, Long, Double)] {
+      def apply(e: (Long, String, Long, Double)): Iterator[SinkOp] = e match {
+        case (id, "error", uid, _) =>
+          Iterator(SinkOp("redis", "DEL", s"u:$uid:$id"))
+        case (id, t @ ("click" | "view"), uid, v) =>
+          Iterator(SinkOp("redis", "SET", s"u:$uid:$id", value = t),
+            SinkOp("redis", "ZADD", s"rank:$uid", score = v, value = id.toString))
+        case (id, t, uid, _) =>
+          Iterator(SinkOp("redis", "SET", s"u:$uid:$id", value = t))
+      }
+    }
+    EventTransform.run(ds, transform)
+      .select(col("target"), col("action"), col("key"), col("value"))
+      .orderBy("key", "action", "value")
+  }
+
+  val cdcScriptTransformSql: String =
+    """SELECT * FROM (
+      |  SELECT 'redis' AS target, 'DEL' AS action,
+      |         'u:' || user_id || ':' || event_id AS key, CAST(NULL AS VARCHAR) AS value
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT 'redis', 'SET', 'u:' || user_id || ':' || event_id, event_type
+      |  FROM events WHERE event_type <> 'error'
+      |  UNION ALL
+      |  SELECT 'redis', 'ZADD', 'rank:' || user_id, CAST(event_id AS VARCHAR)
+      |  FROM events WHERE event_type IN ('click','view')
+      |) ORDER BY key, action, value""".stripMargin
+
+  /** C5 metrics: per-op counters as a query. */
+  def cdcMetrics(s: SparkSession, dir: String): DataFrame =
+    eventsAsChanges(s, dir).groupBy(col("_op").as("op"))
+      .agg(count(lit(1)).as("n")).orderBy("op")
+
+  val cdcMetricsSql: String =
+    s"SELECT $changeOpSql AS op, count(*) AS n FROM events GROUP BY 1 ORDER BY op"
+
+  /** §3.2 stock reconciliation counters. */
+  def cdcSnapshotReconcile(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_custkey")).as("n_custs"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"))
+
+  val cdcSnapshotReconcileSql: String =
+    """SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_custs,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders""".stripMargin
+
+  // ------------------------------------------------------- relational basics
+
+  /** Aggregation pushdown headline (decimal-exact sums cast to double). */
+  def aggQ1(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** S8 dimension enrichment: broadcast join chain. */
+  def joinEnrich(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .join(broadcast(read(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(read(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("n_name")
+
+  val joinEnrichSql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------- training-data: dedup
+
+  def docDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupExact(read(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  val docDedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+      |FROM documents
+      |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |ORDER BY doc_id""".stripMargin
+
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash 64-bit fingerprint (xxhash64-based — no SQL oracle). */
+  def docFingerprintRolling(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprintRolling(col("text")).as("fp64"))
+      .orderBy("doc_id")
+
+  def docMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(read(s, dir, "documents"), "text", "doc_id",
+      k = 32, bands = 8, threshold = 0.6)
+      .orderBy("idA", "idB")
+
+  def docSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(read(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 8)
+      .orderBy("idA", "idB")
+
+  def docNgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(read(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.6)
+      .orderBy("idA", "idB")
+
+  // ---------------------------------------------------- training-data: text
+
+  def docTextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    read(s, dir, "documents").select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      TextFunctions.tokenCount(t).as("n_tokens"),
+      TextFunctions.tokenCountBpe(t).as("n_bpe"),
+      size(regexp_extract_all(t, lit("[!-/:-@\\[-`{-~]"), lit(0))).as("n_punct"))
+      .orderBy("doc_id")
+  }
+
+  val docTextStatsSql: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpe,
+      |  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality features + heuristic language ID (heuristics — rows-only). */
+  def docQuality(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      TextFunctions.qualityFeatures(col("text")).as("q"))
+      .select("doc_id", "lang", "lang_pred", "q.*")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------- training-data: similarity
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "embeddings")
+
+  def embNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(
+      embeddings(s, dir), "vec_id", "embedding", threshold = 0.40)
+      .select("idA", "idB")
+      .orderBy("idA", "idB")
+
+  val embNearDupPairsSql: String =
+    """SELECT a.vec_id AS idA, b.vec_id AS idB
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+      |ORDER BY idA, idB""".stripMargin
+
+  def embAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("q_id", "c_id", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val embAnnTopKSql: String =
+    """SELECT q_id, c_id, rank FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Scale paths: LSH-bucketed and IVF ANN (recall-dependent → rows-only). */
+  def embAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Similarity.lshTopK(queries, corpus, k = 5, dim = dim, nBits = 6, nTables = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  def embAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Similarity.ivfTopK(queries, corpus, k = 5, nCells = 8, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------- training-data: multimodal
+
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeMediaTable(read(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(media).toDF()
+      .select("media_id", "n_bytes")
+      .orderBy("media_id")
+  }
+
+  val mmFeaturesSql: String =
+    """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Full multimodal feature pipeline + video frame sampling (stubbed codec
+    * → rows-only).
+    */
+  def mmFeaturesFull(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeMediaTable(read(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+  }
+
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesizeMediaTable(read(s, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrames(media).orderBy("media_id", "frame_idx")
+  }
+}

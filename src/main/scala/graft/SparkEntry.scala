@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 (and the training-data
+  * pipeline ops) is exposed in [[queries]]; SQL-expressible ones carry a
+  * DuckDB oracle in [[oracleSql]]. Implementations live in [[QueryCatalog]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import QueryCatalog._
+
+  /** Flagship: events-as-changelog replayed through the real engine
+    * (chunked micro-batches → LWW MERGE → LakeTable snapshot).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cdcReplayMerge(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC core (SURVEY §2.1/§2.4/§2.6)
+    "q01_cdc_replay_merge" -> (cdcReplayMerge(_, _)),
+    "q02_lww_dedup" -> (cdcLwwDedup(_, _)),
+    "q03_lww_dedup_salted" -> (cdcLwwDedupSalted(_, _)),
+    "q04_route_filter" -> (cdcRouteFilter(_, _)),
+    // projection / transform rules (SURVEY §2.2)
+    "q05_project_rename" -> (cdcProjectRename(_, _)),
+    "q06_defaults_case" -> (cdcDefaultsCase(_, _)),
+    "q07_encode_kv" -> (cdcEncodeKv(_, _)),
+    "q08_template_key" -> (cdcTemplateKey(_, _)),
+    "q09_date_format" -> (cdcDateFormat(_, _)),
+    "q10_type_cast" -> (cdcTypeCast(_, _)),
+    // sinks / script / metrics (SURVEY §2.4/§2.7/§2.8)
+    "q11_changefeed" -> (cdcChangefeed(_, _)),
+    "q12_changefeed_json" -> (cdcChangefeedJson(_, _)),
+    "q13_script_transform" -> (cdcScriptTransform(_, _)),
+    "q14_metrics" -> (cdcMetrics(_, _)),
+    "q15_snapshot_reconcile" -> (cdcSnapshotReconcile(_, _)),
+    // relational basics
+    "q16_agg_q1" -> (aggQ1(_, _)),
+    "q17_join_enrich" -> (joinEnrich(_, _)),
+    // training-data: dedup
+    "q18_doc_dedup_exact" -> (docDedupExact(_, _)),
+    "q19_doc_fingerprint" -> (docFingerprint(_, _)),
+    "q20_doc_fingerprint_rolling" -> (docFingerprintRolling(_, _)),
+    "q21_doc_minhash_pairs" -> (docMinhashPairs(_, _)),
+    "q22_doc_simhash_pairs" -> (docSimhashPairs(_, _)),
+    "q23_doc_ngram_jaccard" -> (docNgramJaccardPairs(_, _)),
+    // training-data: text analysis
+    "q24_doc_text_stats" -> (docTextStats(_, _)),
+    "q25_doc_quality" -> (docQuality(_, _)),
+    // training-data: similarity
+    "q26_emb_neardup" -> (embNearDupPairs(_, _)),
+    "q27_emb_ann_topk" -> (embAnnTopK(_, _)),
+    "q28_emb_ann_lsh" -> (embAnnLsh(_, _)),
+    "q29_emb_ann_ivf" -> (embAnnIvf(_, _)),
+    // training-data: multimodal
+    "q30_mm_features" -> (mmFeatures(_, _)),
+    "q31_mm_features_full" -> (mmFeaturesFull(_, _)),
+    "q32_mm_frames" -> (mmFrameSample(_, _))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_cdc_replay_merge" -> cdcReplayMergeSql,
+    "q02_lww_dedup" -> cdcLwwDedupSql,
+    "q03_lww_dedup_salted" -> cdcLwwDedupSql, // salted path must equal plain LWW
+    "q04_route_filter" -> cdcRouteFilterSql,
+    "q05_project_rename" -> cdcProjectRenameSql,
+    "q06_defaults_case" -> cdcDefaultsCaseSql,
+    "q07_encode_kv" -> cdcEncodeKvSql,
+    "q08_template_key" -> cdcTemplateKeySql,
+    "q09_date_format" -> cdcDateFormatSql,
+    "q10_type_cast" -> cdcTypeCastSql,
+    "q11_changefeed" -> cdcChangefeedSql,
+    "q13_script_transform" -> cdcScriptTransformSql,
+    "q14_metrics" -> cdcMetricsSql,
+    "q15_snapshot_reconcile" -> cdcSnapshotReconcileSql,
+    "q16_agg_q1" -> aggQ1Sql,
+    "q17_join_enrich" -> joinEnrichSql,
+    "q18_doc_dedup_exact" -> docDedupExactSql,
+    "q19_doc_fingerprint" -> docFingerprintSql,
+    "q24_doc_text_stats" -> docTextStatsSql,
+    "q26_emb_neardup" -> embNearDupPairsSql,
+    "q27_emb_ann_topk" -> embAnnTopKSql,
+    "q30_mm_features" -> mmFeaturesSql
+  )
 }

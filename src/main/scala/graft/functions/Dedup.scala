@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, exact → near-dup:
+  *
+  *  - exact: hash-groupBy on a canonical fingerprint (one shuffle of
+  *    (hash, id) pairs only — never the document bodies);
+  *  - MinHash + LSH: shingle → minhash signature → banded bucket join →
+  *    candidate pairs → Jaccard verify (the classic
+  *    Broder/Leskovec-Rajaraman-Ullman pipeline). Candidate generation is
+  *    |bands| × |docs| rows of small fixed width; the quadratic blow-up is
+  *    confined to per-bucket self-joins, which LSH keeps tiny;
+  *  - SimHash: 64-bit signature, near-dups = small Hamming distance, banded
+  *    on 16-bit chunks so candidates come from equi-joins, not cross-joins;
+  *  - n-gram Jaccard: exact verify on candidate pairs (or small corpora).
+  *
+  * Everything is native `Column` expressions — codegen'd, no UDFs.
+  */
+object Dedup {
+  import TextFunctions._
+
+  /** Word n-gram shingles of a text column (falls back to the whole
+    * normalized text when shorter than n tokens).
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(normalized(c))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** MinHash signature: k independent permutations approximated by seeded
+    * xxhash64; element j = min over shingles of hash(shingle, j).
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleCol, x => xxhash64(x, j))))
+
+  /** LSH band hashes of a minhash signature: `bands` hashes, each over
+    * `rowsPerBand` consecutive signature slots. Two docs sharing ANY band
+    * hash are candidates.
+    */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+
+  /** Estimated Jaccard from two equal-length minhash signatures. */
+  def minhashJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m)).cast("double") /
+      size(a).cast("double")
+
+  /** Exact Jaccard over two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)).cast("double"), lit(1.0))
+
+  /** Exact dedup: one surviving row per canonical fingerprint (smallest id
+    * wins — deterministic). Returns survivors with `dup_count`.
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = fingerprintMd5(col(textCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("_fp")
+  }
+
+  /** MinHash+LSH candidate pairs (idA < idB) with estimated and exact
+    * Jaccard, filtered at `threshold`. `df` must carry (idCol, textCol).
+    */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      shingleN: Int = 3): DataFrame = {
+    val rows = k / bands
+    val prepped = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = prepped
+      .select(col("id"), col("sh"),
+        posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val l = banded.select(col("band"), col("bh"), col("id").as("idA"), col("sh").as("shA"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("idB"), col("sh").as("shB"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
+      .groupBy("idA", "idB").agg(first("jaccard").as("jaccard")) // dedup multi-band hits
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit chunks
+    * (any shared chunk ⇒ candidate; catches Hamming distance ≤ 3 with
+    * certainty by pigeonhole), verified by exact Hamming distance.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigd = df.select(col(idCol).as("id"),
+      SimHash.simhash64(tokens(normalized(col(textCol)))).as("sig"))
+    val banded = sigd.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))
+    l.join(r, Seq("band", "chunk"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
+      .groupBy("idA", "idB").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs. O(n²) candidate space — correct
+    * baseline for tests/small corpora; at scale use the LSH variants above.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    val p = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val l = p.select(col("id").as("idA"), col("sh").as("shA"))
+    val r = p.select(col("id").as("idB"), col("sh").as("shB"))
+    l.crossJoin(r).where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative per-table transform rule — the engine analog of the
+  * reference's rule config (reference: global/rule.go), compiled once into a
+  * pure `Column` pipeline so Catalyst can prune/push/codegen it. Covers the
+  * full projection/transform surface of SURVEY.md §2.2:
+  *
+  *  - P1 include/exclude columns (global/rule.go:345-407 buildPaddingMap)
+  *  - P2 column rename map     (global/rule.go:349-370 column_mappings)
+  *  - P3 case transforms       (global/rule.go:437-448 WrapName)
+  *  - P4 default constant cols (global/rule.go:228-240)
+  *  - P9 date/datetime reformat (global/rule.go:242-248, util/dates)
+  *  - P7 value encoding json | kv-commas | v-commas
+  *    (service/endpoint/endpoint.go:221-257)
+  *  - P8 template formatter `{{.COL}}-{{.OTHER}}`
+  *    (global/rule.go:219-226, endpoint.go:222-228)
+  *  - P10/P11 key, hash-field and score derivation
+  *    (service/endpoint/redis.go:271-327)
+  */
+final case class Rule(
+    includeColumns: Seq[String] = Nil,
+    excludeColumns: Seq[String] = Nil,
+    columnMappings: Map[String, String] = Map.empty, // old → new name
+    caseTransform: Option[String] = None,            // lower | upper | camel
+    defaultColumns: Seq[(String, String)] = Nil,     // constant columns k=v
+    dateFormats: Map[String, String] = Map.empty     // col → Java date pattern
+)
+
+/** Sink key derivation — reference: service/endpoint/redis.go:271-299 plus
+  * composite-PK concat (endpoint.go:309-322).
+  */
+sealed trait KeySpec
+object KeySpec {
+  /** fixed value for all rows (redis key_value) */
+  final case class Fixed(value: String) extends KeySpec
+  /** one column's value (redis key_column) */
+  final case class FromColumn(name: String) extends KeySpec
+  /** `{{.COL}}` template (redis key_tmpl) */
+  final case class Template(tmpl: String) extends KeySpec
+  /** primary key columns, composite = values joined (endpoint.go:309-322) */
+  final case class PrimaryKey(cols: Seq[String], sep: String = "") extends KeySpec
+}
+
+object RulePipeline {
+
+  /** Apply a rule to a DataFrame: include/exclude → rename → defaults →
+    * date formats → name case. All pure projections; Catalyst prunes the
+    * parquet scan to exactly the surviving source columns.
+    */
+  def apply(df: DataFrame, rule: Rule): DataFrame = {
+    var out = df
+    if (rule.includeColumns.nonEmpty)
+      out = out.select(rule.includeColumns.map(col): _*)
+    if (rule.excludeColumns.nonEmpty)
+      out = out.drop(rule.excludeColumns: _*)
+    if (rule.columnMappings.nonEmpty)
+      out = out.withColumnsRenamed(rule.columnMappings)
+    rule.defaultColumns.foreach { case (k, v) => out = out.withColumn(k, lit(v)) }
+    rule.dateFormats.foreach { case (c, pattern) =>
+      // zero/invalid dates are already NULL at decode (endpoint.go:148-163);
+      // date_format takes Java patterns natively — no Go-layout conversion.
+      out = out.withColumn(c, date_format(col(c), pattern))
+    }
+    rule.caseTransform.foreach { t =>
+      val renames = out.columns.map(c => c -> wrapName(c, t)).toMap
+      out = out.withColumnsRenamed(renames)
+    }
+    out
+  }
+
+  /** P3 name case transform (reference: util/stringutil/string_util.go:270-275). */
+  def wrapName(name: String, transform: String): String = transform match {
+    case "upper" => name.toUpperCase
+    case "lower" => name.toLowerCase
+    case "camel" =>
+      val parts = name.split("_")
+      (parts.head +: parts.tail.map(_.capitalize)).mkString
+    case other => throw new IllegalArgumentException(s"unknown case transform: $other")
+  }
+
+  /** P7 value encoding: the whole row as one string column.
+    * json → `to_json(struct(*))`; kv-commas → `k=v,...`; v-commas → `v,...`
+    * (reference: service/endpoint/endpoint.go:221-257; constants
+    * global/rule.go:46-49).
+    */
+  def encodeValue(df: DataFrame, how: String): Column = how match {
+    case "json" => to_json(struct(df.columns.map(col): _*))
+    case "kv-commas" =>
+      concat_ws(",", df.columns.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
+    case "v-commas" =>
+      concat_ws(",", df.columns.map(col(_).cast("string")): _*)
+    case other => throw new IllegalArgumentException(s"unknown value encoder: $other")
+  }
+
+  /** P8: compile a `{{.COL}}` template into a concat Column — the Go
+    * text/template subset the reference actually uses for keys and values
+    * (reference: global/rule.go:219-226, service/endpoint/redis.go:276-284).
+    */
+  def template(tmpl: String): Column = {
+    val token = raw"\{\{\s*\.([A-Za-z0-9_]+)\s*\}\}".r
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    token.findAllMatchIn(tmpl).foreach { m =>
+      if (m.start > last) pieces += lit(tmpl.substring(last, m.start))
+      pieces += coalesce(col(m.group(1)).cast("string"), lit(""))
+      last = m.end
+    }
+    if (last < tmpl.length) pieces += lit(tmpl.substring(last))
+    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+  }
+
+  /** P10 sink-key derivation. */
+  def keyColumn(spec: KeySpec): Column = spec match {
+    case KeySpec.Fixed(v)        => lit(v)
+    case KeySpec.FromColumn(c)   => col(c).cast("string")
+    case KeySpec.Template(t)     => template(t)
+    case KeySpec.PrimaryKey(cols, sep) =>
+      concat_ws(sep, cols.map(col(_).cast("string")): _*)
+  }
+}
