@@ -347,8 +347,12 @@ object QueryCatalog {
       maxHamming = 8)
       .orderBy("idA", "idB")
 
+  /** Exact-verify baseline — O(n²), so bounded to a 1000-doc window (the
+    * scale paths are the LSH variants q21/q22).
+    */
   def docNgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(read(s, dir, "documents"), "text", "doc_id",
+    Dedup.ngramJaccardPairs(
+      read(s, dir, "documents").where(col("doc_id") < 1000), "text", "doc_id",
       threshold = 0.6)
       .orderBy("idA", "idB")
 
@@ -386,16 +390,21 @@ object QueryCatalog {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "embeddings")
 
+  /** Exact near-dup baseline — O(n²), bounded to a 1000-vector window (the
+    * scale paths are LSH q28 / IVF q29).
+    */
   def embNearDupPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(
-      embeddings(s, dir), "vec_id", "embedding", threshold = 0.40)
+      embeddings(s, dir).where(col("vec_id") < 1000),
+      "vec_id", "embedding", threshold = 0.40)
       .select("idA", "idB")
       .orderBy("idA", "idB")
 
   val embNearDupPairsSql: String =
     """SELECT a.vec_id AS idA, b.vec_id AS idB
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+      |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+      |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.40
       |ORDER BY idA, idB""".stripMargin
 
   def embAnnTopK(s: SparkSession, dir: String): DataFrame = {

@@ -19,16 +19,23 @@ import org.apache.spark.sql.types.StructType
 object ChangelogCodec {
   import Types._
 
-  val MetaCols: Seq[String] = Seq("_op", "_pos", "_event_ts")
+  val MetaCols: Seq[String] = Seq("_op", "_pos", "_event_ts", "_schema_id")
 
+  /** Decode against the NEWEST known schema (a superset of all older ones —
+    * missing columns parse to null, widened types parse wide), carrying the
+    * per-event `_schema_id` through so the merge can evolve the table from
+    * the observed watermark without a separate scan.
+    */
   def decode(wire: DataFrame, schema: StructType): DataFrame = {
-    val img = when(col("op") === OpDelete, from_json(col("before"), schema))
-      .otherwise(from_json(col("after"), schema))
+    // pick the image string first, parse ONCE (JSON parse dominates decode CPU)
+    val img = from_json(
+      when(col("op") === OpDelete, col("before")).otherwise(col("after")), schema)
     wire.select(
       col("op").as("_op"),
       col("pos").as("_pos"),
       col("ts").as("_event_ts"),
+      col("schema_id").as("_schema_id"),
       img.as("_img")
-    ).select(col("_op"), col("_pos"), col("_event_ts"), col("_img.*"))
+    ).select(col("_op"), col("_pos"), col("_event_ts"), col("_schema_id"), col("_img.*"))
   }
 }

@@ -45,7 +45,11 @@ final case class ChangelogSpec(
     // schema_id bumps: 0 → 1 at 60% of the stream, 1 → 2 at 80%
     schemaEvolution: Boolean = true,
     // ~0.5% of events carry a zero/NULL timestamp
-    zeroTsOneIn: Int = 200
+    zeroTsOneIn: Int = 200,
+    // parquet files per rotation segment: a micro-batch of K chunks scans
+    // with K×filesPerChunk tasks — the knob that lets executor counts scale
+    // the decode stage (one fat file per segment caps scan parallelism)
+    filesPerChunk: Int = 8
 )
 
 object ChangelogGenerator {
@@ -156,9 +160,11 @@ object ChangelogGenerator {
     Files.createDirectories(out)
     val staging = out.resolve("_staging")
 
-    eventsWithDuplicates(spark, spec)
+    val ev = eventsWithDuplicates(spark, spec)
       .withColumn("chunk", format_string("c%06d", col("epoch_hint")))
-      .repartition(col("chunk"))
+    val nGroups = ((spec.nEvents / spec.chunkSize).toInt + 3) * spec.filesPerChunk
+    ev.repartition(math.min(512, nGroups),
+        col("chunk"), pmod(col("pos"), lit(spec.filesPerChunk)))
       .write.partitionBy("chunk").mode("overwrite").parquet(staging.toString)
 
     // Flatten chunk=*/part-*.parquet → c<chunk>-<part>.parquet with ascending

@@ -14,19 +14,33 @@ import scala.jdk.CollectionConverters._
   * align old (narrower) files to the current schema — the lake-side analog of
   * the reference re-fetching the table schema on DDL and re-projecting
   * (reference: global/rule.go:295-343 AfterUpdateTableInfo).
+  *
+  * `kind`: "base" (fully resolved rows) or "delta" (merge-on-read row-version
+  * file appended by a MERGE commit; the read path resolves LWW across
+  * base+delta per key, compaction folds deltas back into base).
+  *
+  * `del`: file holds only tombstone rows (deletes are written to separate
+  * files so live-only reads prune them at the manifest and per-bucket
+  * upsert/delete lineage comes from footer row counts, no extra scan).
+  * `maxPos`: footer max of the applied-pos column (per-bucket applied-offset
+  * watermark, also scan-pruning input).
   */
-final case class FileEntry(bucket: Int, path: String, rows: Long, schemaId: Int)
+final case class FileEntry(bucket: Int, path: String, rows: Long, schemaId: Int,
+    kind: String = "base", del: Boolean = false, maxPos: Long = -1L)
 
 /** Per-commit, per-bucket lineage record — the analog of the reference's
   * Prometheus insert/update/delete counters and position gauge
   * (reference: metrics/metrics.go:145-223), persisted INSIDE the table
   * metadata so it survives failover and is queryable as a DataFrame.
+  * `replayed` (events at-or-below the previous applied offset) is tracked
+  * per COMMIT (see [[CommitInfo.replayed]]); per-bucket counters come free
+  * from file footers.
   */
 final case class LineageEntry(epoch: Long, bucket: Int, upserted: Long,
-    deleted: Long, appliedOffset: Long, replayed: Long)
+    deleted: Long, appliedOffset: Long)
 
 final case class CommitInfo(version: Int, epoch: Long, offset: Long,
-    tsMillis: Long, operation: String)
+    tsMillis: Long, operation: String, replayed: Long = 0L)
 
 /** Versioned table metadata. The pair (lastEpoch, lastOffset) is the
   * exactly-once fence: it is committed ATOMICALLY with the snapshot that
@@ -92,18 +106,48 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
   def bucketExpr(numBuckets: Int, bucketCols: Seq[String]) =
     pmod(abs(xxhash64(bucketCols.map(col): _*)), lit(numBuckets)).cast("int")
 
-  /** Current snapshot as a DataFrame (live rows, row columns only). */
-  def snapshot(): DataFrame =
-    snapshotWithMeta().where(!col(DelCol)).drop(PosCol, DelCol)
-
-  /** Snapshot including hidden [[PosCol]]/[[DelCol]] and tombstones. */
-  def snapshotWithMeta(): DataFrame = readAligned(meta.files)
-
-  /** Snapshot restricted to the given buckets — partition pruning for the
-    * copy-on-write merge: only touched buckets are ever read or rewritten.
+  /** Current snapshot as a DataFrame (live rows, row columns only);
+    * pure-base tombstone files are pruned at the manifest without a scan.
     */
-  def snapshotForBuckets(buckets: Set[Int]): DataFrame =
-    readAligned(meta.files.filter(f => buckets.contains(f.bucket)))
+  def snapshot(): DataFrame =
+    snapshotForBuckets(null, includeBaseTombstones = false)
+      .where(!col(DelCol)).drop(PosCol, DelCol)
+
+  /** Resolved snapshot including hidden [[PosCol]]/[[DelCol]] and tombstones:
+    * merge-on-read resolution — buckets that carry delta files get a per-key
+    * LWW reduce (greatest (pos, del-rank) wins); pure-base buckets stream
+    * through untouched (no shuffle).
+    */
+  def snapshotWithMeta(): DataFrame = snapshotForBuckets(null)
+
+  /** Resolved snapshot restricted to the given buckets (null = all) —
+    * partition pruning via the file manifest.
+    */
+  def snapshotForBuckets(buckets: Set[Int],
+      includeBaseTombstones: Boolean = true): DataFrame = {
+    val m = meta
+    val files = if (buckets == null) m.files
+      else m.files.filter(f => buckets.contains(f.bucket))
+    val deltaBuckets = files.filter(_.kind == "delta").map(_.bucket).toSet
+    val (unresolved, pure) = files.partition(f => deltaBuckets.contains(f.bucket))
+    // pure-base buckets need no LWW resolve; for LIVE reads their tombstone
+    // files can additionally be pruned at the manifest (no scan at all) —
+    // merge-side reads must keep them (anti-resurrection)
+    val pureDf = readAligned(
+      if (includeBaseTombstones) pure else pure.filterNot(_.del))
+    if (unresolved.isEmpty) pureDf
+    else pureDf.unionAll(resolveLww(readAligned(unresolved)))
+  }
+
+  /** Per-key LWW over base+delta rows: winner = greatest (applied pos,
+    * tombstone-rank). Same total order as the merge path.
+    */
+  def resolveLww(df: DataFrame): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    val ord = struct(col(PosCol), col(DelCol).cast("int"))
+    df.groupBy(meta.keyCols.map(col): _*)
+      .agg(max_by(all, ord).as("_w")).select(col("_w.*"))
+  }
 
   /** Read data files, aligning every historic schemaId to the CURRENT schema:
     * missing columns → null, narrower types → cast (int→long etc.). Grouped
@@ -114,20 +158,22 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     val m = meta
     val cur = m.schema
     val target = cur.fields.map(f => (f.name, f.dataType))
-    val metaFields = Seq(StructField(PosCol, LongType), StructField(DelCol, BooleanType))
     if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(cur.fields ++ metaFields))
+        StructType(cur.fields ++ Seq(StructField(PosCol, LongType),
+          StructField(DelCol, BooleanType))))
     }
-    files.groupBy(_.schemaId).map { case (sid, group) =>
-      val stored = StructType(m.schemaFor(sid).fields ++ metaFields)
+    // group by (written schema, tombstone flag): each scan uses exactly the
+    // schema its footers carry; the del flag re-attaches from the manifest
+    files.groupBy(f => (f.schemaId, f.del)).map { case ((sid, del), group) =>
+      val stored = StructType(m.schemaFor(sid).fields :+ StructField(PosCol, LongType))
       val storedNames = stored.fieldNames.toSet
       val paths = group.map(f => root.resolve(f.path).toString)
       spark.read.schema(stored).parquet(paths: _*)
         .select((target.map { case (n, dt) =>
           if (storedNames.contains(n)) col(n).cast(dt).as(n)
           else lit(null).cast(dt).as(n)
-        } ++ Seq(col(PosCol), col(DelCol))): _*)
+        } ++ Seq(col(PosCol), lit(del).as(DelCol))): _*)
     }.reduce(_ unionAll _)
   }
 
@@ -144,15 +190,29 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     * allowed: add nullable column, widen int→long / float→double.
     */
   def evolveSchema(newSchemaId: Int, newSchema: StructType): Unit = synchronized {
-    val m = refresh()
-    if (newSchemaId <= m.schemaId) return
-    LakeTable.checkCompatible(m.schema, newSchema)
-    commitMeta(m.copy(
-      version = m.version + 1,
-      schemaId = newSchemaId,
-      schemas = m.schemas + (newSchemaId.toString -> newSchema.json),
-      history = m.history :+ CommitInfo(m.version + 1, m.lastEpoch, m.lastOffset,
-        System.currentTimeMillis(), s"evolve-schema:$newSchemaId")))
+    if (newSchemaId <= refresh().schemaId) return
+    commitAtomic { m =>
+      LakeTable.checkCompatible(m.schema, newSchema)
+      m.copy(
+        version = m.version + 1,
+        schemaId = newSchemaId,
+        schemas = m.schemas + (newSchemaId.toString -> newSchema.json),
+        history = m.history :+ CommitInfo(m.version + 1, m.lastEpoch, m.lastOffset,
+          System.currentTimeMillis(), s"evolve-schema:$newSchemaId"))
+    }
+  }
+
+  /** Build-and-commit against the LATEST snapshot under the table monitor —
+    * the in-process half of optimistic concurrency (the ingest thread and
+    * the async compactor both commit through here; `build` must rebase its
+    * changes onto whatever `latest` holds). Cross-process atomicity comes
+    * from the version-named rename in [[commitMeta]].
+    */
+  def commitAtomic(build: TableMeta => TableMeta): TableMeta = synchronized {
+    val latest = refresh()
+    val next = build(latest)
+    commitMeta(next)
+    next
   }
 
   /** Atomically publish a new snapshot. Caller stages data files first. */

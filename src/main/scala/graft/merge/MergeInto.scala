@@ -1,15 +1,17 @@
 package graft.merge
 
 import graft.core.Types
-import graft.lake.{FileEntry, LakeTable, LineageEntry, CommitInfo}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.lake.{CommitInfo, FileEntry, LakeTable, LineageEntry, TableMeta}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import java.util.UUID
+import scala.collection.parallel.CollectionConverters._
 import scala.jdk.CollectionConverters._
 
 final case class MergeResult(epoch: Long, skipped: Boolean,
@@ -19,7 +21,7 @@ final case class MergeResult(epoch: Long, skipped: Boolean,
   * canonical apply shape of the reference's sinks (insert→put, update→set,
   * delete→remove, upsert on replay; reference:
   * service/endpoint/mongo.go:144-191, redis.go:225-268,
-  * elastic7.go:292-306) expressed as one idempotent copy-on-write merge.
+  * elastic7.go:292-306) expressed as one idempotent merge.
   *
   * Semantics (== the reference's single-threaded in-order apply,
   * service/handler.go:135-194, made explicit for a parallel engine):
@@ -32,22 +34,39 @@ final case class MergeResult(epoch: Long, skipped: Boolean,
   *     (reference: elastic7.go:230-233 not_found ignored).
   *
   * Scale design (100 TB / 1000 executors):
-  *   - the batch side is shuffled ONCE (partial-aggregated `max_by` groupBy:
-  *     map-side combine collapses per-key duplicates before the exchange, so
-  *     hot-conversation skew cannot overload a reducer; an optional salted
-  *     two-phase dedup bounds pathological single-key floods);
-  *   - the TABLE side never shuffles: touched buckets are found from the
-  *     (small) deduped batch, only those buckets' files are read (partition
-  *     pruning via the file manifest), and matched/unmatched splitting uses
-  *     broadcast semi/anti hash joins of the batch KEY SET — the scan streams
-  *     straight back to parquet with no exchange;
-  *   - copy-on-write rewrites only touched buckets; write amplification is
-  *     bounded by `numBuckets` (raise it with table size).
+  *   - **merge-on-read (default)**: ONE Spark job per micro-batch — scan →
+  *     partial-aggregated `max_by` LWW dedup (map-side combine collapses
+  *     per-key duplicates before the exchange, so hot-conversation skew
+  *     cannot overload a reducer) → write delta row-version files. Commit
+  *     cost is O(batch) regardless of table size (the Iceberg-v2 MOR shape).
+  *     Global batch metrics ride the same job via `observe()`; per-bucket
+  *     lineage (rows upserted/deleted, applied-offset watermark) comes from
+  *     parquet footers of the files just written — no second scan, no
+  *     second job. The read path resolves per-key LWW over base+delta;
+  *     [[compact]] folds deltas into base, amortizing read cost.
+  *   - **copy-on-write (option)**: rewrites touched buckets, producing
+  *     resolve-free base files — right for low-churn tables / bootstrap.
+  *     The TABLE side never shuffles: touched buckets come from the small
+  *     deduped batch (manifest pruning) and matched/unmatched splitting uses
+  *     broadcast semi/anti hash joins of the batch KEY SET.
+  *   - an optional salted two-phase dedup bounds pathological single-key
+  *     floods (SURVEY.md §7.5).
   */
 object MergeInto {
   import Types._
 
-  /** Broadcast the batch key set below this many deduped rows. */
+  private val debugTiming = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](tag: String)(f: => T): T = {
+    if (!debugTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing]   $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+  }
+
+  /** Broadcast the batch key set below this many deduped rows (COW path). */
   val BroadcastKeyLimit = 4000000L
 
   /** LWW ordering: (pos, event ts with null→epoch-0, op rank). */
@@ -57,9 +76,8 @@ object MergeInto {
     when(col("_op") === OpDelete, 2).when(col("_op") === OpUpdate, 1).otherwise(0))
 
   /** Keep exactly one event per key: the LWW winner. `salt` > 1 enables the
-    * two-phase salted reduction (phase 1 per (key, salt), phase 2 per key)
-    * for pathological single-key floods; with partial aggregation the default
-    * single phase already combines map-side (SURVEY.md §7.5 skew note).
+    * two-phase salted reduction (phase 1 per (key, salt), phase 2 per key);
+    * the default single phase already combines map-side.
     */
   def lwwDedup(df: DataFrame, keyCols: Seq[String], salt: Int = 0): DataFrame = {
     val phase1 =
@@ -75,38 +93,162 @@ object MergeInto {
   }
 
   /** Merge one micro-batch (decoded merge-input layout: `_op,_pos,_event_ts`
-    * + row columns of the table's CURRENT schema) into `table`, committing
-    * `(epoch, maxPos)` atomically with the snapshot. Replayed epochs
+    * [,`_schema_id`] + row columns) into `table`, committing `(epoch,
+    * maxPos)` atomically with the snapshot. Replayed epochs
     * (epoch <= table.lastEpoch) are fenced to no-ops — exactly-once table
     * state even when Structured Streaming re-runs a batch after a crash.
+    *
+    * `batchSchemaId`: the registry schema the batch rows are shaped as
+    * (defaults to the table's current schema). If the batch carries
+    * `_schema_id`, the observed watermark evolves the table in the same
+    * commit (OnTableChanged analog — reference: service/handler.go:56-62).
     */
-  def merge(table: LakeTable, batch: DataFrame, epoch: Long, salt: Int = 0): MergeResult = {
-    val m = table.refresh()
-    if (epoch <= m.lastEpoch)
+  def merge(table: LakeTable, batch: DataFrame, epoch: Long, salt: Int = 0,
+      mode: String = "mor",
+      registry: Map[Int, StructType] = Map.empty,
+      batchSchemaId: Int = -1): MergeResult = {
+    val m0 = table.refresh()
+    if (epoch <= m0.lastEpoch)
       return MergeResult(epoch, skipped = true, 0, 0, 0, 0)
+    if (mode == "mor") mergeMor(table, m0, batch, epoch, salt, registry, batchSchemaId)
+    else mergeCow(table, m0, batch, epoch, salt, registry)
+  }
 
-    val spark = table.spark
-    val keyCols = m.keyCols
-    val rowCols = m.schema.fieldNames.toSeq
-    val bucket = table.bucketExpr(m.numBuckets, m.bucketCols)
+  // ------------------------------------------------------------------- MOR
+
+  private def mergeMor(table: LakeTable, m0: TableMeta, batch: DataFrame,
+      epoch: Long, salt: Int, registry: Map[Int, StructType],
+      batchSchemaIdIn: Int): MergeResult = {
+    val keyCols = m0.keyCols
+    val hasSid = batch.columns.contains("_schema_id")
+    val batchSchemaId = if (batchSchemaIdIn >= 0) batchSchemaIdIn else m0.schemaId
+    val fileSchema = registry.getOrElse(batchSchemaId,
+      if (batchSchemaId == m0.schemaId) m0.schema
+      else m0.schemaFor(batchSchemaId))
+
+    // No in-batch dedup: positions are unique, so the read-side LWW resolve
+    // picks the same winner whether or not intra-batch losers are written.
+    // Skipping the groupBy saves a full shuffle+aggregate of every batch —
+    // the merge is scan → one bucket exchange → write. (Delta files carry
+    // the losers until compaction folds them; `salt` retains the salted
+    // two-phase dedup for callers that want slimmer deltas on hot keys.)
+    val dedup = if (salt > 1) lwwDedup(batch, keyCols, salt) else batch
+    val isDel = col("_op") === OpDelete
+    val batchCols = batch.columns.toSet
+
+    // ONE job: observe global metrics on the deduped stream, project to the
+    // storage layout (batch schema; delete winners become tombstone rows —
+    // key + pos, payload nulled — routed to separate del-files), shuffle by
+    // bucket, write delta files.
+    val obs = new Observation(s"merge-$epoch-${UUID.randomUUID().toString.take(6)}")
+    val commitId = UUID.randomUUID().toString.take(12)
+    val commitRel = s"data/$commitId"
+    val sidMetric = if (hasSid) max(col("_schema_id")) else max(lit(batchSchemaId))
+    timed("mor-write") {
+      dedup // observe on the pre-projection node so _schema_id is in scope
+        .observe(obs,
+          count(lit(1)).as("n"),
+          sum(when(isDel, 1L).otherwise(0L)).as("dels"),
+          max(col("_pos")).as("maxPos"),
+          sum(when(col("_pos") <= m0.lastOffset, 1L).otherwise(0L)).as("replays"),
+          sidMetric.as("maxSid"))
+        .select(
+          (fileSchema.fields.map { f =>
+            val base =
+              if (!batchCols.contains(f.name)) lit(null)
+              else if (keyCols.contains(f.name)) col(f.name)
+              else when(isDel, lit(null)).otherwise(col(f.name))
+            base.cast(f.dataType).as(f.name)
+          }.toSeq
+            :+ col("_pos").as(table.PosCol)
+            :+ isDel.as("del")
+            :+ table.bucketExpr(m0.numBuckets, m0.bucketCols).as("bkt")): _*)
+        // explicit partition count: keeps one hash-partitioned writer task
+        // per bucket (AQE would coalesce small shuffles into one sort-based
+        // dynamic-partition writer — serial and slower)
+        .repartition(m0.numBuckets, col("bkt"))
+        .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString)
+    }
+    val row = obs.get
+    val nDedup = row("n").asInstanceOf[Long]
+    if (nDedup == 0) { // empty batch: advance the fence only
+      table.commitAtomic(latest => latest.copy(
+        version = latest.version + 1, lastEpoch = epoch,
+        history = latest.history :+ CommitInfo(latest.version + 1, epoch,
+          latest.lastOffset, System.currentTimeMillis(), "merge-empty")))
+      return MergeResult(epoch, skipped = false, 0, 0, 0, 0)
+    }
+    val nDeletes = row("dels").asInstanceOf[Long]
+    val maxPos = row("maxPos").asInstanceOf[Long]
+    val nReplays = row("replays").asInstanceOf[Long]
+    val maxSid = row("maxSid").asInstanceOf[Int]
+
+    val newFiles = timed("footers")(
+      listCommitFiles(table, commitRel, batchSchemaId, "delta"))
+    val lineage = newFiles.groupBy(_.bucket).map { case (b, fs) =>
+      LineageEntry(epoch, b,
+        upserted = fs.filterNot(_.del).map(_.rows).sum,
+        deleted = fs.filter(_.del).map(_.rows).sum,
+        appliedOffset = fs.map(_.maxPos).max)
+    }.toSeq
+
+    // append-only commit, rebased onto whatever the async compactor may
+    // have published meanwhile; schema registration + in-flight evolution
+    // land in the SAME atomic commit as the data
+    table.commitAtomic { latest =>
+      var schemas = latest.schemas
+      if (!schemas.contains(batchSchemaId.toString))
+        schemas += batchSchemaId.toString -> fileSchema.json
+      var schemaId = latest.schemaId
+      if (maxSid > schemaId) {
+        val target = registry.getOrElse(maxSid, throw new IllegalStateException(
+          s"batch carries schema_id $maxSid but registry has no schema for it"))
+        LakeTable.checkCompatible(latest.schema, target)
+        schemas += maxSid.toString -> target.json
+        schemaId = maxSid
+      }
+      latest.copy(
+        version = latest.version + 1,
+        schemaId = schemaId,
+        schemas = schemas,
+        lastEpoch = epoch,
+        lastOffset = math.max(latest.lastOffset, maxPos),
+        files = (latest.files ++ newFiles).sortBy(f => (f.bucket, f.path)),
+        lineage = (latest.lineage ++ lineage).takeRight(100000),
+        history = latest.history :+ CommitInfo(latest.version + 1, epoch, maxPos,
+          System.currentTimeMillis(),
+          s"merge-mor:buckets=${lineage.size}:rows=$nDedup", replayed = nReplays))
+    }
+
+    MergeResult(epoch, skipped = false, upserted = nDedup - nDeletes,
+      deleted = nDeletes, replayed = nReplays, touchedBuckets = lineage.size)
+  }
+
+  // ------------------------------------------------------------------- COW
+
+  private def mergeCow(table: LakeTable, m0: TableMeta, batch: DataFrame,
+      epoch: Long, salt: Int, registry: Map[Int, StructType]): MergeResult = {
+    val keyCols = m0.keyCols
+    val hasSid = batch.columns.contains("_schema_id")
+    val bucket = table.bucketExpr(m0.numBuckets, m0.bucketCols)
 
     val dedup = lwwDedup(batch, keyCols, salt)
       .withColumn("_bucket", bucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Per-bucket batch stats: drives lineage + broadcast decision; tiny
-      // (≤ numBuckets rows).
+      val sidAgg = if (hasSid) max(col("_schema_id")) else max(lit(m0.schemaId))
       val stats = dedup.groupBy("_bucket").agg(
         count(lit(1)).as("n"),
         sum(when(col("_op") === OpDelete, 1L).otherwise(0L)).as("dels"),
         max(col("_pos")).as("maxPos"),
-        sum(when(col("_pos") <= m.lastOffset, 1L).otherwise(0L)).as("replays")
-      ).collect()
+        sum(when(col("_pos") <= m0.lastOffset, 1L).otherwise(0L)).as("replays"),
+        sidAgg.as("maxSid")).collect()
 
-      if (stats.isEmpty) { // empty batch: advance the fence only
-        table.commitMeta(m.copy(version = m.version + 1, lastEpoch = epoch,
-          history = m.history :+ CommitInfo(m.version + 1, epoch, m.lastOffset,
-            System.currentTimeMillis(), "merge-empty")))
+      if (stats.isEmpty) {
+        table.commitAtomic(latest => latest.copy(
+          version = latest.version + 1, lastEpoch = epoch,
+          history = latest.history :+ CommitInfo(latest.version + 1, epoch,
+            latest.lastOffset, System.currentTimeMillis(), "merge-empty")))
         return MergeResult(epoch, skipped = false, 0, 0, 0, 0)
       }
 
@@ -116,64 +258,78 @@ object MergeInto {
       val maxPos = stats.map(_.getLong(3)).max
       val nReplays = stats.map(_.getLong(4)).sum
 
+      // evolve BEFORE the rewrite so new base files carry the new schema
+      val maxSid = stats.map(_.getInt(5)).max
+      if (maxSid > m0.schemaId) {
+        val target = registry.getOrElse(maxSid, throw new IllegalStateException(
+          s"batch carries schema_id $maxSid but registry has no schema for it"))
+        table.evolveSchema(maxSid, target)
+      }
+      val m = table.meta
+      val rowCols = m.schema.fieldNames.toSeq
+      val batchCols = batch.columns.toSet
+      val isDel = col("_op") === OpDelete
+
+      def toStorage(winners: DataFrame): DataFrame = {
+        val wCols = winners.columns.toSet
+        winners.select(
+          (m.schema.fields.map { f =>
+            val base =
+              if (!wCols.contains(f.name)) lit(null)
+              else if (keyCols.contains(f.name)) col(f.name)
+              else when(isDel, lit(null)).otherwise(col(f.name))
+            base.cast(f.dataType).as(f.name)
+          }.toSeq
+            :+ col("_pos").as(table.PosCol) :+ isDel.as("del")): _*)
+      }
+
       val keysOnly = dedup.select(keyCols.map(col): _*)
       val keySet = if (nDedup <= BroadcastKeyLimit) broadcast(keysOnly) else keysOnly
-
       val existing = table.snapshotForBuckets(touched) // rowCols + PosCol + DelCol
       val unmatched = existing.join(keySet, keyCols, "left_anti")
-
+        .withColumnRenamed(table.DelCol, "del")
       // Matched existing rows (live or tombstone) re-enter LWW as events at
-      // their applied pos: a replayed (old-pos) batch event loses; a
-      // genuinely newer one wins. Tombstones compete as deletes so a replayed
-      // old insert cannot resurrect a deleted key.
+      // their applied pos: a replayed (old-pos) batch event loses; a newer
+      // one wins; tombstones compete as deletes so a replayed old insert
+      // cannot resurrect a deleted key.
       val matchedAsEvents = existing.join(keySet, keyCols, "left_semi")
         .withColumn("_op",
           when(col(table.DelCol), lit(OpDelete)).otherwise(lit(OpInsert)))
         .withColumn("_event_ts", lit(null).cast("timestamp"))
         .withColumnRenamed(table.PosCol, "_pos")
         .select((Seq("_op", "_pos", "_event_ts") ++ rowCols).map(col): _*)
-
-      // Delete winners are WRITTEN as tombstone rows (key + pos, payload
-      // nulled); snapshot() filters them, compaction may GC them once below
-      // the global applied-offset watermark.
-      val winners = lwwDedup(
-        matchedAsEvents.unionByName(dedup.drop("_bucket")), keyCols)
-      val isDel = col("_op") === OpDelete
-      val upserts = winners.select(
-        (rowCols.map(c =>
-          (if (keyCols.contains(c)) col(c) else when(isDel, lit(null)).otherwise(col(c))).as(c))
-          :+ col("_pos").as(table.PosCol) :+ isDel.as(table.DelCol)): _*)
-
-      // Partition-dir column deliberately NOT underscore-prefixed: Hadoop
-      // path filters treat `_*` entries as hidden.
-      val finalRows = unmatched.unionByName(upserts)
+      val batchEvents = dedup.drop("_bucket", "_schema_id")
+        .select((Seq("_op", "_pos", "_event_ts") ++
+          rowCols.filter(batchCols.contains)).map(col): _*)
+      val winners = lwwDedup(matchedAsEvents.unionByName(batchEvents,
+        allowMissingColumns = true), keyCols)
+      val finalRows = unmatched.unionByName(toStorage(winners))
         .withColumn("bkt", bucket)
 
-      // Stage the rewritten buckets under a fresh commit dir; one shuffle of
-      // the touched buckets only, files split per bucket by partitionBy.
       val commitId = UUID.randomUUID().toString.take(12)
       val commitRel = s"data/$commitId"
-      val commitDir = table.root.resolve(commitRel)
-      finalRows
+      timed("cow-write")(finalRows
         .repartition(math.max(touched.size, 1), col("bkt"))
-        .write.partitionBy("bkt").parquet(commitDir.toString)
+        .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString))
 
-      val newFiles = listCommitFiles(table, commitRel, m.schemaId)
-      val keptFiles = m.files.filterNot(f => touched.contains(f.bucket))
-      val rowsPerBucket = newFiles.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum)
+      val newFiles = listCommitFiles(table, commitRel, m.schemaId, "base")
       val lineage = stats.map { r =>
         LineageEntry(epoch, r.getInt(0), upserted = r.getLong(1) - r.getLong(2),
-          deleted = r.getLong(2), appliedOffset = r.getLong(3), replayed = r.getLong(4))
+          deleted = r.getLong(2), appliedOffset = r.getLong(3))
       }
 
-      table.commitMeta(m.copy(
-        version = m.version + 1,
-        lastEpoch = epoch,
-        lastOffset = math.max(m.lastOffset, maxPos),
-        files = (keptFiles ++ newFiles).sortBy(f => (f.bucket, f.path)),
-        lineage = (m.lineage ++ lineage).takeRight(100000),
-        history = m.history :+ CommitInfo(m.version + 1, epoch, maxPos,
-          System.currentTimeMillis(), s"merge:buckets=${touched.size}:rows=$nDedup")))
+      table.commitAtomic { latest =>
+        latest.copy(
+          version = latest.version + 1,
+          lastEpoch = epoch,
+          lastOffset = math.max(latest.lastOffset, maxPos),
+          files = (latest.files.filterNot(f => touched.contains(f.bucket)) ++ newFiles)
+            .sortBy(f => (f.bucket, f.path)),
+          lineage = (latest.lineage ++ lineage).takeRight(100000),
+          history = latest.history :+ CommitInfo(latest.version + 1, epoch, maxPos,
+            System.currentTimeMillis(),
+            s"merge-cow:buckets=${touched.size}:rows=$nDedup", replayed = nReplays))
+      }
 
       MergeResult(epoch, skipped = false,
         upserted = nDedup - nDeletes, deleted = nDeletes,
@@ -181,27 +337,122 @@ object MergeInto {
     } finally dedup.unpersist()
   }
 
-  /** Enumerate staged files with row counts from parquet footers —
-    * metadata-only, no data re-scan.
+  // ----------------------------------------------------------- maintenance
+
+  /** Fold delta files into resolved base files (MOR maintenance). Keeps
+    * tombstones (they defend against replayed-old-insert resurrection;
+    * `gcTombstonesBelowPos` may drop those whose pos is provably below any
+    * replayable offset). Pure maintenance: epoch/offset fences unchanged.
+    *
+    * Commit is REBASE-safe against concurrent MOR merges (the Iceberg
+    * RewriteDataFiles shape): the rewrite resolves the file set of snapshot
+    * v; if merges appended deltas meanwhile, the commit retries as
+    * (latest.files − inputs) + newBaseFiles — sound because MOR merges only
+    * ADD files and LWW resolution is order-independent (max pos wins
+    * regardless of which file holds it).
+    */
+  def compact(table: LakeTable, gcTombstonesBelowPos: Long = Long.MinValue): Unit = {
+    val m = table.refresh()
+    if (!m.files.exists(_.kind == "delta")) return
+    val inputs = m.files.toSet
+    val bucket = table.bucketExpr(m.numBuckets, m.bucketCols)
+    val resolved = table.snapshotWithMeta()
+      .where(!col(table.DelCol) || col(table.PosCol) >= gcTombstonesBelowPos)
+      .withColumnRenamed(table.DelCol, "del")
+      .withColumn("bkt", bucket)
+    val commitId = UUID.randomUUID().toString.take(12)
+    val commitRel = s"data/$commitId"
+    timed("compact-write")(resolved.repartition(m.numBuckets, col("bkt"))
+      .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString))
+    val newFiles = listCommitFiles(table, commitRel, m.schemaId, "base")
+    // rebase: keep any delta files appended since `m` was resolved
+    table.commitAtomic { latest =>
+      require(inputs.subsetOf(latest.files.toSet),
+        "compaction inputs vanished — concurrent non-append commit")
+      latest.copy(
+        version = latest.version + 1,
+        files = (latest.files.filterNot(inputs.contains) ++ newFiles)
+          .sortBy(f => (f.bucket, f.path)),
+        history = latest.history :+ CommitInfo(latest.version + 1, latest.lastEpoch,
+          latest.lastOffset, System.currentTimeMillis(),
+          s"compact:files=${newFiles.size}"))
+    }
+  }
+
+  /** Non-blocking compaction trigger: fires [[compact]] on a daemon thread,
+    * at most one in flight per JVM — ingest keeps streaming while
+    * maintenance folds deltas (async table services, as on a real lake).
+    */
+  private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def maybeCompactAsync(table: LakeTable, ratio: Double, minRows: Long): Boolean = {
+    val m = table.meta
+    val deltaRows = m.files.filter(_.kind == "delta").map(_.rows).sum
+    val baseRows = m.files.filter(_.kind == "base").map(_.rows).sum
+    val due = deltaRows >= minRows && deltaRows >= ratio * baseRows
+    if (!due || !compacting.compareAndSet(false, true)) return false
+    val t = new Thread(() =>
+      try compact(table)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] async compaction failed (will retry later): $e")
+      } finally compacting.set(false), "graft-compactor")
+    t.setDaemon(true)
+    t.start()
+    true
+  }
+
+  /** Block until no async compaction is in flight (test/shutdown hook). */
+  def awaitCompaction(): Unit = { while (compacting.get()) Thread.sleep(50) }
+
+  /** Delta-vs-base row ratio (compaction trigger input). */
+  def deltaRatio(table: LakeTable): Double = {
+    val m = table.meta
+    val d = m.files.filter(_.kind == "delta").map(_.rows).sum.toDouble
+    val b = m.files.filter(_.kind == "base").map(_.rows).sum.toDouble
+    if (b == 0) (if (d > 0) Double.MaxValue else 0.0) else d / b
+  }
+
+  /** Enumerate staged files under `commitRel` with row counts and the
+    * applied-pos max — straight from parquet footers, no data re-scan.
+    * Layout: `<commitRel>/bkt=<b>/del=<bool>/part-*.parquet`.
     */
   private def listCommitFiles(table: LakeTable, commitRel: String,
-      schemaId: Int): List[FileEntry] = {
+      schemaId: Int, kind: String): List[FileEntry] = {
     val conf = table.spark.sessionState.newHadoopConf()
     val commitDir = table.root.resolve(commitRel)
     if (!Files.isDirectory(commitDir)) return Nil
-    Files.list(commitDir).iterator().asScala
+    val paths = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.startsWith("bkt="))
       .flatMap { bdir =>
         val b = bdir.getFileName.toString.stripPrefix("bkt=").toInt
         Files.list(bdir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map { f =>
-            val reader = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new HPath(f.toUri), conf))
-            val rows = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-            finally reader.close()
-            FileEntry(b, table.root.relativize(f).toString, rows, schemaId)
+          .filter(_.getFileName.toString.startsWith("del="))
+          .flatMap { ddir =>
+            val del = ddir.getFileName.toString.stripPrefix("del=").toBoolean
+            Files.list(ddir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (b, del, f))
           }
       }.toList
+    // footer reads are independent metadata I/O — do them in parallel, a
+    // sequential loop costs ~1s/commit on the driver at 100+ files
+    paths.par.map { case (b, del, f) =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(f.toUri), conf))
+      val (rows, maxPos) = try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val r = blocks.map(_.getRowCount).sum
+        val mp = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == table.PosCol)
+          .map(_.getStatistics)
+          .filter(s => s != null && s.hasNonNullValue)
+          .map(_.genericGetMax.asInstanceOf[Long])) match {
+          case s if s.nonEmpty => s.max
+          case _ => -1L
+        }
+        (r, mp)
+      } finally reader.close()
+      FileEntry(b, table.root.relativize(f).toString, rows, schemaId,
+        kind, del, maxPos)
+    }.toList
   }
 }

@@ -28,7 +28,7 @@ object ReferenceOracle {
     */
   def expectedState(decoded: DataFrame, keyCols: Seq[String]): Map[Seq[Any], Map[String, Any]] = {
     val cols = decoded.columns
-    val rowCols = cols.filterNot(Set("_op", "_pos", "_event_ts"))
+    val rowCols = cols.filterNot(graft.changelog.ChangelogCodec.MetaCols.toSet)
     val events = decoded.collect()
     val rank = Map("insert" -> 0, "update" -> 1, "delete" -> 2)
     val ordered = events.sortBy { r =>

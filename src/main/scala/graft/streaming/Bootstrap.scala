@@ -27,6 +27,7 @@ object Bootstrap {
     val asEvents = snapshot.select(
       (Seq(lit(Types.OpInsert).as("_op"), lit(startPos).as("_pos"),
         lit(null).cast("timestamp").as("_event_ts")) ++ rowCols.map(col)): _*)
-    MergeInto.merge(table, asEvents, BootstrapEpoch)
+    // cow ⇒ the stock load lands as resolved base files
+    MergeInto.merge(table, asEvents, BootstrapEpoch, mode = "cow")
   }
 }

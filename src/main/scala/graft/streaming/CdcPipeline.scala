@@ -34,30 +34,47 @@ object CdcPipeline {
       maxFilesPerTrigger: Int = 4,
       triggerMs: Long = 200L, // reference default flush_bulk_interval=200ms
       saltedDedup: Int = 0,
+      mergeMode: String = "mor", // mor = O(batch) commits; cow = resolved buckets
+      // fold deltas into base when deltaRows ≥ ratio × baseRows (and ≥ minRows)
+      autoCompactRatio: Double = 4.0,
+      autoCompactMinRows: Long = 200000L,
       registry: Map[Int, StructType] = Types.transcriptSchemas)
 
   /** Apply one micro-batch of wire-form events. Exposed for tests and the
     * batch replayer.
     */
+  private val debugTiming = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](tag: String)(f: => T): T = {
+    if (!debugTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs " +
+        f"(at ${System.currentTimeMillis() % 1000000}ms)")
+      r
+    }
+  }
+
   def applyBatch(table: LakeTable, wire: DataFrame, epoch: Long,
-      cfg: Config): MergeResult = {
+      cfg: Config): MergeResult = timed(s"applyBatch($epoch)") {
     val m = table.refresh()
     if (epoch <= m.lastEpoch) // fence before doing any work on replay
       return MergeResult(epoch, skipped = true, 0, 0, 0, 0)
 
-    // In-flight schema evolution: a batch announcing a newer schema_id
-    // evolves the table (metadata-only) before decode.
-    val maxSidRow = wire.agg(max(col("schema_id"))).head()
-    if (!maxSidRow.isNullAt(0)) {
-      val maxSid = maxSidRow.getInt(0)
-      if (maxSid > m.schemaId) {
-        val target = cfg.registry.getOrElse(maxSid,
-          throw new IllegalStateException(s"unknown schema_id $maxSid"))
-        table.evolveSchema(maxSid, target)
-      }
-    }
-    val decoded = ChangelogCodec.decode(wire, table.meta.schema)
-    MergeInto.merge(table, decoded, epoch, cfg.saltedDedup)
+    // Decode against the newest registry schema (a superset — older events
+    // parse with nulls/wide types); the per-event _schema_id watermark rides
+    // into the merge stats and drives in-flight table evolution there
+    // (OnTableChanged analog) with no extra scan of the batch.
+    val newestSid = cfg.registry.keys.max
+    val decoded = ChangelogCodec.decode(wire, cfg.registry(newestSid))
+    val res = timed("merge")(
+      MergeInto.merge(table, decoded, epoch, cfg.saltedDedup, cfg.mergeMode,
+        cfg.registry, batchSchemaId = newestSid))
+
+    // MOR maintenance: async amortized compaction keeps read-side resolve
+    // bounded without blocking ingest (rebase-safe vs concurrent merges).
+    MergeInto.maybeCompactAsync(table, cfg.autoCompactRatio, cfg.autoCompactMinRows)
+    res
   }
 
   /** Start the continuous streaming query. */

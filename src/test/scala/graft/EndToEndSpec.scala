@@ -50,7 +50,7 @@ class EndToEndSpec extends SparkSpec {
     assert(table.meta.lastOffset == 19999L)
     assert(table.lineage().count() > 0)
     // duplicate spans were observed as replays somewhere
-    assert(table.meta.lineage.map(_.replayed).sum > 0, "expected replayed rows > 0")
+    assert(table.meta.history.map(_.replayed).sum > 0, "expected replayed rows > 0")
   }
 
   test("kill-and-resume from checkpoint == uninterrupted run (no dups, no gaps)") {

@@ -1,0 +1,151 @@
+package graft
+
+import graft.core.Types
+import graft.lake.LakeTable
+import graft.merge.MergeInto
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Property tests (SURVEY.md §5.4) over seeded random event sequences:
+  * replay idempotence, batch-boundary invariance, within-batch permutation
+  * invariance, schema-evolution commute — each vs a sequential fold oracle
+  * (the reference's single-threaded apply order).
+  */
+class PropertySpec extends SparkSpec {
+  import Types._
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType, nullable = false),
+    StructField("v", StringType)))
+
+  case class Ev(op: String, pos: Long, k: String, v: String)
+
+  private def genEvents(rnd: Random): List[Ev] = {
+    val n = 5 + rnd.nextInt(56)
+    (0 until n).map { i =>
+      val op = rnd.nextInt(10) match {
+        case x if x < 5 => OpInsert
+        case x if x < 8 => OpUpdate
+        case _          => OpDelete
+      }
+      val k = s"k${rnd.nextInt(8)}"
+      Ev(op, i.toLong, k, if (op == OpDelete) null else s"$k@$i")
+    }.toList
+  }
+
+  private def foldOracle(evs: Seq[Ev]): Map[String, String] =
+    evs.sortBy(e => (e.pos, opRank(e.op))).foldLeft(Map.empty[String, String]) {
+      case (m, Ev(OpDelete, _, k, _)) => m - k
+      case (m, Ev(_, _, k, v))        => m.updated(k, v)
+    }
+
+  private def toDf(evs: Seq[Ev]): DataFrame = {
+    import spark.implicits._
+    evs.map(e => (e.op, e.pos, e.k, e.v)).toDF("_op", "_pos", "k", "v")
+      .withColumn("_event_ts", lit(null).cast("timestamp"))
+      .select("_op", "_pos", "_event_ts", "k", "v")
+  }
+
+  private var n = 0
+  private def fresh(): LakeTable = {
+    n += 1
+    LakeTable.create(spark, tmpDir("graft-prop").resolve(s"t$n").toString,
+      schema, Seq("k"), Seq("k"), numBuckets = 2)
+  }
+
+  private def state(t: LakeTable): Map[String, String] =
+    t.snapshot().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("any batch split == sequential oracle (batch-boundary invariance)") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val evs = genEvents(rnd)
+      val t = fresh()
+      val nSplits = 1 + rnd.nextInt(4)
+      val groups = evs.grouped(math.max(1, evs.size / nSplits)).toSeq
+      groups.zipWithIndex.foreach { case (g, e) => MergeInto.merge(t, toDf(g), e) }
+      assert(state(t) == foldOracle(evs), s"seed=$seed splits=$nSplits")
+    }
+  }
+
+  test("replaying any prefix again (new epoch) changes nothing (idempotence)") {
+    for (seed <- 11 to 14) {
+      val evs = genEvents(new Random(seed))
+      val t = fresh()
+      val half = evs.size / 2
+      MergeInto.merge(t, toDf(evs.take(half)), 0)
+      MergeInto.merge(t, toDf(evs.drop(half)), 1)
+      val s1 = state(t)
+      MergeInto.merge(t, toDf(evs.take(half)), 2) // duplicate span replay
+      assert(state(t) == s1, s"seed=$seed prefix replay changed state")
+      MergeInto.merge(t, toDf(evs), 3) // full replay
+      assert(state(t) == s1, s"seed=$seed full replay changed state")
+      assert(s1 == foldOracle(evs), s"seed=$seed")
+    }
+  }
+
+  test("permuting events WITHIN a batch == same final state") {
+    for (seed <- 21 to 25) {
+      val rnd = new Random(seed)
+      val evs = genEvents(rnd)
+      val t1 = fresh(); val t2 = fresh()
+      val shuffled = rnd.shuffle(evs)
+      MergeInto.merge(t1, toDf(evs), 0)
+      MergeInto.merge(t2, toDf(shuffled), 0)
+      assert(state(t1) == state(t2), s"seed=$seed")
+      assert(state(t1) == foldOracle(evs), s"seed=$seed")
+    }
+  }
+
+  test("schema-evolution commute: evolve-then-events == events announcing new schema") {
+    import spark.implicits._
+    val wide = StructType(schema.fields :+ StructField("extra", StringType))
+    val registry = Map(0 -> schema, 1 -> wide)
+    // t1: evolve first, then apply v0-shaped events
+    val t1 = fresh()
+    t1.evolveSchema(1, wide)
+    MergeInto.merge(t1, toDf(Seq(Ev(OpInsert, 1, "a", "v1"))), 0)
+    // t2: apply events that ANNOUNCE schema 1, carrying null for the new col
+    val t2 = fresh()
+    val d = Seq(("insert", 1L, "a", "v1", null.asInstanceOf[String], 1))
+      .toDF("_op", "_pos", "k", "v", "extra", "_schema_id")
+      .withColumn("_event_ts", lit(null).cast("timestamp"))
+    MergeInto.merge(t2, d, 0, registry = registry, batchSchemaId = 1)
+    assert(t2.refresh().schemaId == 1)
+    val s1 = t1.snapshot().select("k", "v", "extra").collect().toSeq
+    val s2 = t2.snapshot().select("k", "v", "extra").collect().toSeq
+    assert(s1 == s2)
+  }
+
+  test("incompatible evolutions are rejected") {
+    val t = fresh()
+    intercept[IllegalArgumentException] { // dropping a column
+      t.evolveSchema(1, StructType(Seq(StructField("k", StringType))))
+    }
+    intercept[IllegalArgumentException] { // narrowing a type
+      LakeTable.checkCompatible(
+        StructType(Seq(StructField("x", LongType))),
+        StructType(Seq(StructField("x", IntegerType))))
+    }
+    // widening + nullable add is fine
+    LakeTable.checkCompatible(
+      StructType(Seq(StructField("x", IntegerType))),
+      StructType(Seq(StructField("x", LongType), StructField("y", StringType))))
+  }
+
+  test("concurrent compaction during merges never corrupts state") {
+    val evs = genEvents(new Random(99))
+    val t = fresh()
+    val groups = evs.grouped(math.max(1, evs.size / 4)).toSeq
+    groups.zipWithIndex.foreach { case (g, e) =>
+      MergeInto.merge(t, toDf(g), e)
+      // force a rebased compaction race on every batch
+      MergeInto.maybeCompactAsync(t, ratio = 0.0, minRows = 0L)
+    }
+    MergeInto.awaitCompaction()
+    assert(state(t) == foldOracle(evs))
+  }
+}

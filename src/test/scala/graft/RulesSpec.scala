@@ -1,0 +1,108 @@
+package graft
+
+import graft.rules._
+import org.apache.spark.sql.functions._
+
+/** P1-P12 rule-pipeline semantics (SURVEY.md §2.2) against the reference's
+  * documented behaviors.
+  */
+class RulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, "alice", "2024-03-05 06:07:08", 12.5),
+    (2L, "bob", "2024-12-31 23:59:59", 0.25)
+  ).toDF("user_id", "user_name", "created_at", "score")
+    .withColumn("created_at", col("created_at").cast("timestamp"))
+
+  test("P1 include + P2 rename + P4 defaults") {
+    val out = RulePipeline(df, Rule(
+      includeColumns = Seq("user_id", "user_name"),
+      columnMappings = Map("user_name" -> "name"),
+      defaultColumns = Seq("source" -> "mysql")))
+    assert(out.columns.toSeq == Seq("user_id", "name", "source"))
+    assert(out.where($"source" === "mysql").count() == 2)
+  }
+
+  test("P1 exclude columns") {
+    val out = RulePipeline(df, Rule(excludeColumns = Seq("score", "created_at")))
+    assert(out.columns.toSeq == Seq("user_id", "user_name"))
+  }
+
+  test("P3 case transforms incl. snake→camel (WrapName analog)") {
+    assert(RulePipeline.wrapName("user_name", "camel") == "userName")
+    assert(RulePipeline.wrapName("user_name", "upper") == "USER_NAME")
+    assert(RulePipeline.wrapName("USER", "lower") == "user")
+    val out = RulePipeline(df, Rule(caseTransform = Some("camel")))
+    assert(out.columns.toSeq == Seq("userId", "userName", "createdAt", "score"))
+    intercept[IllegalArgumentException](RulePipeline.wrapName("x", "nope"))
+  }
+
+  test("P9 date reformat with Java patterns") {
+    val out = RulePipeline(df, Rule(dateFormats = Map("created_at" -> "yyyy/MM/dd HH:mm")))
+    assert(out.select("created_at").as[String].collect().toSet ==
+      Set("2024/03/05 06:07", "2024/12/31 23:59"))
+  }
+
+  test("P7 value encodings: json, kv-commas, v-commas") {
+    val two = df.select("user_id", "user_name")
+    val kv = two.select(RulePipeline.encodeValue(two, "kv-commas").as("v"))
+      .as[String].collect().toSet
+    assert(kv == Set("user_id=1,user_name=alice", "user_id=2,user_name=bob"))
+    val v = two.select(RulePipeline.encodeValue(two, "v-commas").as("v"))
+      .as[String].collect().toSet
+    assert(v == Set("1,alice", "2,bob"))
+    val js = two.select(RulePipeline.encodeValue(two, "json").as("v"))
+      .as[String].collect().toSet
+    assert(js.contains("""{"user_id":1,"user_name":"alice"}"""))
+    intercept[IllegalArgumentException](RulePipeline.encodeValue(two, "xml"))
+  }
+
+  test("P8 template formatter {{.COL}} incl. null → empty string") {
+    val d = Seq((7L, "x"), (8L, null)).toDF("id", "tag")
+    val out = d.select(RulePipeline.template("k-{{.id}}:{{.tag}}!").as("t"))
+      .as[String].collect().toSet
+    assert(out == Set("k-7:x!", "k-8:!"))
+    // no placeholders → constant
+    assert(d.select(RulePipeline.template("const").as("t"))
+      .as[String].head() == "const")
+  }
+
+  test("P10 key derivation: fixed / column / template / composite PK") {
+    val d = Seq((1L, 2, "a")).toDF("pk1", "pk2", "val")
+    def key(s: KeySpec) = d.select(RulePipeline.keyColumn(s).as("k")).as[String].head()
+    assert(key(KeySpec.Fixed("K")) == "K")
+    assert(key(KeySpec.FromColumn("val")) == "a")
+    assert(key(KeySpec.Template("{{.pk1}}-{{.pk2}}")) == "1-2")
+    assert(key(KeySpec.PrimaryKey(Seq("pk1", "pk2"))) == "12")
+    assert(key(KeySpec.PrimaryKey(Seq("pk1", "pk2"), ":")) == "1:2")
+  }
+
+  test("§2.7 EventTransform flatMap emits 0..n ops per event") {
+    val ds = Seq(("del", 1L), ("keep", 2L), ("fan", 3L)).toDS()
+    val t = new EventTransform[(String, Long)] {
+      def apply(e: (String, Long)) = e match {
+        case ("del", _)  => Iterator.empty
+        case ("fan", id) => Iterator(SinkOp("s", "A", id.toString), SinkOp("s", "B", id.toString))
+        case (_, id)     => Iterator(SinkOp("s", "SET", id.toString))
+      }
+    }
+    val ops = EventTransform.run(ds, t).collect()
+    assert(ops.length == 3)
+    assert(ops.count(_.action == "A") == 1 && ops.count(_.action == "B") == 1)
+  }
+
+  test("K11 changefeed message: keyed, raw image when reserve_raw_data") {
+    import graft.core.Types._
+    val decoded = Seq(("insert", 5L, "c1", 0)).toDF("_op", "_pos", "conv_id", "turn_idx")
+      .withColumn("_event_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val msgs = ChangefeedOut.toMessages(decoded, Seq("conv_id", "turn_idx"),
+      reserveRawData = true).collect()
+    assert(msgs.head.getAs[String]("key") == "c1|0")
+    val v = msgs.head.getAs[String]("value")
+    assert(v.contains(""""action":"insert"""") && v.contains(""""raw""""))
+    val noRaw = ChangefeedOut.toMessages(decoded, Seq("conv_id"), reserveRawData = false)
+      .collect().head.getAs[String]("value")
+    assert(!noRaw.contains(""""raw""""))
+  }
+}
