@@ -19,6 +19,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** RAM-backed scratch when available: on this single-box sandbox the one
+    * virtio disk is a serial term that a real cluster doesn't have (disks
+    * scale with executors), so shuffle + table I/O go to /dev/shm.
+    */
+  val scratchRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && shm.toFile.getUsableSpace > (40L << 30)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -26,6 +36,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"$scratchRoot/graft-spark-local")
       // decode parallelism = scan splits: changelog segments are ~10 MB, so
       // the default 128 MB split packs a whole micro-batch into ~4 tasks and
       // caps the JSON-parse stage regardless of core count
@@ -64,7 +75,12 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
-    val work = java.nio.file.Files.createTempDirectory("graft_bench")
+    val work = java.nio.file.Files.createTempDirectory(scratchRoot, "graft_bench")
+    sys.addShutdownHook { // RAM-backed scratch must not outlive the run
+      ChangelogGenerator.deleteRecursively(work)
+      ChangelogGenerator.deleteRecursively(
+        java.nio.file.Paths.get(s"$scratchRoot/graft-spark-local"))
+    }
     val log = s"$work/log"
 
     // -------- generate the shared changelog once (not timed) --------
@@ -102,7 +118,7 @@ object Bench {
         Types.transcriptKey, Seq("conv_id"), numBuckets = 64)
       val cfg = CdcPipeline.Config(logDir, "", autoCompactMinRows =
         if (sys.env.get("SPARK_GRAFT_BENCH_COMPACT").contains("off")) Long.MaxValue
-        else 400000L)
+        else 2000000L)
       groups.zipWithIndex.foreach { case (files, epoch) =>
         val wire = s.read.schema(Types.changeEventWireSchema).parquet(files: _*)
         CdcPipeline.applyBatch(table, wire, epoch, cfg)
@@ -146,7 +162,7 @@ object Bench {
         CdcPipeline.runToCompletion(s, table,
           CdcPipeline.Config(log, s"$dir/cp",
             maxFilesPerTrigger = chunksPerBatch * spec.filesPerChunk,
-            autoCompactMinRows = 400000L))
+            autoCompactMinRows = 2000000L))
       }
       require(table.refresh().lastOffset == nEvents - 1, "stream replay incomplete")
       s.stop()

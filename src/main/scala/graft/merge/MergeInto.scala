@@ -69,6 +69,18 @@ object MergeInto {
   /** Broadcast the batch key set below this many deduped rows (COW path). */
   val BroadcastKeyLimit = 4000000L
 
+  /** Writer-wave fanout: enough (bucket, salt) partitions for ≥16 waves per
+    * core so stragglers amortize; 1 when buckets already dominate cores.
+    */
+  private def writeFanout(table: LakeTable, numBuckets: Int): Int = {
+    val cores = table.spark.sparkContext.defaultParallelism
+    // prefer sizing numBuckets ≥ 4×cores instead of salting: salt multiplies
+    // files per bucket; fanout only kicks in for very coarse tables
+    math.max(1, (4 * cores + numBuckets - 1) / numBuckets)
+  }
+  private def writeSalt(table: LakeTable, numBuckets: Int) =
+    pmod(xxhash64(col(table.PosCol)), lit(writeFanout(table, numBuckets)))
+
   /** LWW ordering: (pos, event ts with null→epoch-0, op rank). */
   private def ordCol: Column = struct(
     col("_pos"),
@@ -163,10 +175,12 @@ object MergeInto {
             :+ col("_pos").as(table.PosCol)
             :+ isDel.as("del")
             :+ table.bucketExpr(m0.numBuckets, m0.bucketCols).as("bkt")): _*)
-        // explicit partition count: keeps one hash-partitioned writer task
-        // per bucket (AQE would coalesce small shuffles into one sort-based
-        // dynamic-partition writer — serial and slower)
-        .repartition(m0.numBuckets, col("bkt"))
+        // explicit partition count (AQE would coalesce small shuffles into
+        // one sort-based dynamic-partition writer — serial and slower),
+        // fanned out with a salt so writer waves stay fine-grained relative
+        // to the core count (wave quantization otherwise idles the tail)
+        .repartition(m0.numBuckets * writeFanout(table, m0.numBuckets),
+          col("bkt"), writeSalt(table, m0.numBuckets))
         .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString)
     }
     val row = obs.get
@@ -362,7 +376,9 @@ object MergeInto {
       .withColumn("bkt", bucket)
     val commitId = UUID.randomUUID().toString.take(12)
     val commitRel = s"data/$commitId"
-    timed("compact-write")(resolved.repartition(m.numBuckets, col("bkt"))
+    timed("compact-write")(resolved
+      .repartition(m.numBuckets * writeFanout(table, m.numBuckets),
+        col("bkt"), writeSalt(table, m.numBuckets))
       .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString))
     val newFiles = listCommitFiles(table, commitRel, m.schemaId, "base")
     // rebase: keep any delta files appended since `m` was resolved
