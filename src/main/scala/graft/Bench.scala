@@ -8,13 +8,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
-  * Two parts:
+  * Three parts (protocol + measured results: BASELINE.md):
   *  1. The authoritative north-rule metric — sustained change-events/sec
   *     applied (changelog replay → LakeTable MERGE) — measured on the SAME
-  *     synthetic changelog at two parallelism levels (local[8] vs local[32],
-  *     matching shuffle partitions), evidencing the N→4N scaling-efficiency
-  *     criterion (BASELINE.md protocol).
-  *  2. Per-query wall times for the operator catalog on
+  *     synthetic changelog at two parallelism levels (default local[4] vs
+  *     local[16] = N vs 4N, matching shuffle partitions), evidencing the
+  *     scaling-efficiency criterion.
+  *  2. The full Structured Streaming pipeline throughput at 4N.
+  *  3. Per-query wall times for the operator catalog on
   *     `SPARK_GRAFT_SF_DIR` at local[32].
   */
 object Bench {
@@ -75,6 +76,12 @@ object Bench {
       .split(",").map(_.trim.toInt).toSeq
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // clear stale RAM scratch from previous killed runs before allocating
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(scratchRoot).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("graft_bench") ||
+        p.getFileName.toString.startsWith("graft-spark-local"))
+      .foreach(ChangelogGenerator.deleteRecursively)
     val work = java.nio.file.Files.createTempDirectory(scratchRoot, "graft_bench")
     sys.addShutdownHook { // RAM-backed scratch must not outlive the run
       ChangelogGenerator.deleteRecursively(work)

@@ -58,6 +58,30 @@ object Main {
       val res = Bootstrap.run(table, spark.read.parquet(parquet))
       println(s"bootstrap: upserted=${res.upserted} buckets=${res.touchedBuckets}")
 
+    // manual position override — the analog of the reference's
+    // `-position file pos` mode (main.go:103-119); same caveat: operator
+    // action, use only to skip poison spans or rewind after a restore
+    case "set-offset" :: tableDir :: epoch :: offset :: _ =>
+      val table = LakeTable.load(spark, tableDir)
+      val next = table.commitAtomic(m => m.copy(version = m.version + 1,
+        lastEpoch = epoch.toLong, lastOffset = offset.toLong,
+        history = m.history :+ graft.lake.CommitInfo(m.version + 1, epoch.toLong,
+          offset.toLong, System.currentTimeMillis(), "set-offset")))
+      println(s"set: lastEpoch=${next.lastEpoch} lastOffset=${next.lastOffset} v=${next.version}")
+
+    case "compact" :: tableDir :: rest =>
+      val table = LakeTable.load(spark, tableDir)
+      graft.merge.MergeInto.compact(table,
+        rest.headOption.map(_.toLong).getOrElse(Long.MinValue))
+      val m = table.refresh()
+      println(s"compacted: files=${m.files.size} v=${m.version}")
+
+    case "vacuum" :: tableDir :: rest =>
+      val table = LakeTable.load(spark, tableDir)
+      val keep = rest.headOption.map(_.toInt).getOrElse(2)
+      val (versionsDropped, filesRemoved) = table.vacuum(keep)
+      println(s"vacuum: dropped $versionsDropped versions, removed $filesRemoved data files")
+
     case "status" :: tableDir :: _ =>
       val table = LakeTable.load(spark, tableDir)
       val m = table.meta
@@ -70,7 +94,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
-      System.err.println("usage: gen|init|run|bootstrap|status ...")
+      System.err.println("usage: gen|init|run|bootstrap|status|set-offset|compact|vacuum ...")
       sys.exit(2)
   }
 }

@@ -446,6 +446,22 @@ object QueryCatalog {
       .orderBy("q_id", "rank")
   }
 
+  /** S6 wildcard table expansion: regex against the table directory (the
+    * sandbox's information_schema), per-table row counts.
+    */
+  def wildcardTables(s: SparkSession, dir: String): DataFrame = {
+    val frames = graft.sources.Tables.readMatching(s, dir, "^(nation|region|supplier)$")
+      .map { case (name, df) => df.groupBy().agg(count(lit(1)).as("n"))
+        .select(lit(name).as("tbl"), col("n")) }
+    frames.reduce(_ unionAll _).orderBy("tbl")
+  }
+
+  val wildcardTablesSql: String =
+    """SELECT 'nation' AS tbl, count(*) AS n FROM nation
+      |UNION ALL SELECT 'region', count(*) FROM region
+      |UNION ALL SELECT 'supplier', count(*) FROM supplier
+      |ORDER BY tbl""".stripMargin
+
   // ---------------------------------------------- training-data: multimodal
 
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {

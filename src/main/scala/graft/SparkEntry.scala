@@ -56,7 +56,9 @@ object SparkEntry {
     // training-data: multimodal
     "q30_mm_features" -> (mmFeatures(_, _)),
     "q31_mm_features_full" -> (mmFeaturesFull(_, _)),
-    "q32_mm_frames" -> (mmFrameSample(_, _))
+    "q32_mm_frames" -> (mmFrameSample(_, _)),
+    // S6 wildcard table expansion
+    "q33_wildcard_tables" -> (wildcardTables(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -81,6 +83,7 @@ object SparkEntry {
     "q24_doc_text_stats" -> docTextStatsSql,
     "q26_emb_neardup" -> embNearDupPairsSql,
     "q27_emb_ann_topk" -> embAnnTopKSql,
-    "q30_mm_features" -> mmFeaturesSql
+    "q30_mm_features" -> mmFeaturesSql,
+    "q33_wildcard_tables" -> wildcardTablesSql
   )
 }

@@ -185,6 +185,51 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     meta.lineage.toDF()
   }
 
+  /** List all snapshot versions currently on disk (time-travel index). */
+  def versions(): Seq[Int] = LakeTable.listVersions(root)
+
+  /** Time travel: the live snapshot as of table version `v`. Data files are
+    * immutable and only vacuum removes them, so any retained version is
+    * reconstructible from its metadata JSON alone.
+    */
+  def snapshotAt(v: Int): DataFrame = {
+    val saved = LakeTable.readMetaVersion(root, v)
+    val cur = metaCache
+    metaCache = saved
+    try snapshot() finally { metaCache = cur }
+  }
+
+  /** Vacuum: delete metadata versions older than the newest `keepVersions`
+    * and any data file no retained version references. Time travel keeps
+    * working for retained versions; this is the maintenance op that bounds
+    * storage at a 10^10-event scale (delta/compaction commits strand old
+    * files by design — COW semantics never delete eagerly).
+    */
+  def vacuum(keepVersions: Int = 2): (Int, Int) = synchronized {
+    val all = versions()
+    val (drop, keep) = all.splitAt(math.max(0, all.size - math.max(1, keepVersions)))
+    val referenced = keep.map(v => LakeTable.readMetaVersion(root, v))
+      .flatMap(_.files.map(_.path)).toSet
+    var removedFiles = 0
+    if (Files.isDirectory(dataDir)) {
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => referenced.contains(root.relativize(p).toString))
+        .foreach { p => Files.deleteIfExists(p); removedFiles += 1 }
+      // prune emptied commit directories
+      Files.walk(dataDir).iterator().asScala.toSeq.reverse
+        .filter(p => Files.isDirectory(p) && p != dataDir)
+        .foreach { p =>
+          val it = Files.list(p)
+          val empty = !it.iterator().hasNext
+          it.close()
+          if (empty) Files.deleteIfExists(p)
+        }
+    }
+    drop.foreach(v => Files.deleteIfExists(root.resolve("meta").resolve(f"v$v%08d.json")))
+    (drop.size, removedFiles)
+  }
+
   /** Evolve the table schema in place (metadata-only commit; no data rewrite —
     * old files are aligned at read time). Only compatible evolutions are
     * allowed: add nullable column, widen int→long / float→double.
@@ -259,15 +304,26 @@ object LakeTable {
       .exists(_.getFileName.toString.matches("v\\d{8}\\.json"))
   }
 
-  private[lake] def readLatestMeta(root: Path): TableMeta = {
+  private[lake] def listVersions(root: Path): Seq[Int] = {
     val metaDir = root.resolve("meta")
-    val versions = Files.list(metaDir).iterator().asScala
+    val s = Files.list(metaDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{8}\\.json") => s }
+      .collect { case n if n.matches("v\\d{8}\\.json") => n.stripPrefix("v").stripSuffix(".json").toInt }
       .toSeq.sorted
-    require(versions.nonEmpty, s"no table at $root")
-    val json = new String(Files.readAllBytes(metaDir.resolve(versions.last)), "UTF-8")
+    finally s.close()
+  }
+
+  private[lake] def readMetaVersion(root: Path, v: Int): TableMeta = {
+    val json = new String(Files.readAllBytes(
+      root.resolve("meta").resolve(f"v$v%08d.json")), "UTF-8")
     Serialization.read[TableMeta](json)
+  }
+
+  private[lake] def readLatestMeta(root: Path): TableMeta = {
+    val vs = listVersions(root)
+    require(vs.nonEmpty, s"no table at $root")
+    readMetaVersion(root, vs.last)
   }
 
   private[lake] def writeMeta(root: Path, meta: TableMeta): Unit = {
