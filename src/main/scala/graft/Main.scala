@@ -58,6 +58,11 @@ object Main {
       val res = Bootstrap.run(table, spark.read.parquet(parquet))
       println(s"bootstrap: upserted=${res.upserted} buckets=${res.touchedBuckets}")
 
+    case "changefeed" :: log :: outDir :: cp :: _ =>
+      graft.streaming.ChangefeedSink.runToCompletion(spark,
+        CdcPipeline.Config(log, cp), outDir, reserveRawData = true)
+      println(s"changefeed: ${spark.read.parquet(outDir).count()} messages at $outDir")
+
     // manual position override — the analog of the reference's
     // `-position file pos` mode (main.go:103-119); same caveat: operator
     // action, use only to skip poison spans or rewind after a restore
@@ -94,7 +99,7 @@ object Main {
 
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
-      System.err.println("usage: gen|init|run|bootstrap|status|set-offset|compact|vacuum ...")
+      System.err.println("usage: gen|init|run|bootstrap|changefeed|status|set-offset|compact|vacuum ...")
       sys.exit(2)
   }
 }

@@ -1,7 +1,7 @@
 package graft.changelog
 
 import graft.core.Types
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -37,5 +37,22 @@ object ChangelogCodec {
       col("schema_id").as("_schema_id"),
       img.as("_img")
     ).select(col("_op"), col("_pos"), col("_event_ts"), col("_schema_id"), col("_img.*"))
+  }
+
+  implicit val changeEventEncoder: Encoder[Types.ChangeEvent] =
+    Encoders.product[Types.ChangeEvent]
+
+  /** Typed decode: wire → `Dataset[ChangeEvent]` with before/after images as
+    * `Option[Transcript]` (widest schema; older events carry nulls). The
+    * merge path stays on the columnar [[decode]] layout — this is the
+    * user-facing typed surface for `flatMap`/`mapGroups`-style transforms.
+    */
+  def typed(wire: DataFrame): Dataset[Types.ChangeEvent] = {
+    val s = Types.transcriptSchemaV2
+    wire.select(
+      col("pos"), col("epoch_hint"), col("op"), col("ts"), col("schema_id"),
+      from_json(col("before"), s).as("before"),
+      from_json(col("after"), s).as("after")
+    ).as[Types.ChangeEvent]
   }
 }

@@ -72,6 +72,25 @@ object Types {
   val OpUpdate = "update"
   val OpDelete = "delete"
 
+  /** Typed row: one transcript turn (widest schema — `lang` nullable,
+    * `turn_idx` long — older events decode with nulls/narrow values).
+    */
+  final case class Transcript(
+      conv_id: String, turn_idx: Long, role: String, text: String,
+      tool: String, ts: java.sql.Timestamp, lang: String)
+
+  /** Typed change event — the `Dataset[ChangeEvent]` surface of the engine
+    * (`ChangelogCodec.typed`): op + monotone pos + before/after images as
+    * options, the typed analog of `model.RowRequest`.
+    */
+  final case class ChangeEvent(
+      pos: Long, epoch_hint: Long, op: String, ts: java.sql.Timestamp,
+      schema_id: Int, before: Option[Transcript], after: Option[Transcript]) {
+    def key: Option[(String, Long)] =
+      (if (op == OpDelete) before else after).map(t => (t.conv_id, t.turn_idx))
+    def image: Option[Transcript] = if (op == OpDelete) before else after
+  }
+
   /** Total-order op priority for LWW tie-breaking at equal (pos, ts):
     * delete > update > insert (SURVEY.md §7.5).
     */

@@ -1,0 +1,114 @@
+package graft
+
+import graft.changelog.{ChangelogCodec, ChangelogGenerator, ChangelogSpec}
+import graft.core.Types
+import graft.lake.LakeTable
+import graft.oracle.ReferenceOracle
+import graft.streaming.{CdcPipeline, ChangefeedSink, Metrics, MultiTablePipeline}
+import org.apache.spark.sql.functions._
+
+/** Multi-table routing, changefeed-out sink, and streaming metrics. */
+class StreamingExtrasSpec extends SparkSpec {
+  import Types._
+
+  private val keys = Seq("conv_id", "turn_idx")
+
+  test("multi-table routing: one stream, two tables, per-route exactly-once") {
+    val tmp = tmpDir("graft-multi")
+    val log = s"$tmp/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 8000, nConversations = 150, chunkSize = 1000,
+        dupEvery = 3000, dupSpanLen = 150), log)
+    def mk(n: String) = LakeTable.create(spark, s"$tmp/$n", transcriptSchemaV0,
+      keys, Seq("conv_id"), 4)
+    val tUser = mk("user"); val tOther = mk("other")
+    val routes = Seq(
+      MultiTablePipeline.Route("user", col("role") === "user", tUser),
+      MultiTablePipeline.Route("other", col("role") =!= "user", tOther))
+    val cfg = CdcPipeline.Config(log, s"$tmp/cp", maxFilesPerTrigger = 16)
+    MultiTablePipeline.runToCompletion(spark, routes, cfg)
+
+    // oracle: decode everything, split by the same predicates, replay each
+    val wire = spark.read.schema(changeEventWireSchema).parquet(log)
+    val decoded = ChangelogCodec.decode(wire, tUser.meta.schema)
+    def check(t: LakeTable, pred: org.apache.spark.sql.Column): Unit = {
+      val exp = ReferenceOracle.expectedState(decoded.where(pred), keys)
+      val act = ReferenceOracle.actualState(t.snapshot(), keys)
+      val (m, e, d) = ReferenceOracle.diff(exp, act)
+      assert(m.isEmpty && e.isEmpty && d.isEmpty,
+        s"missing=${m.take(3)} extra=${e.take(3)} diff=${d.take(3)}")
+      assert(exp.nonEmpty)
+    }
+    check(tUser, col("role") === "user")
+    check(tOther, col("role") =!= "user")
+    // disjoint routing: no key overlap is NOT guaranteed (a key's role can
+    // differ across events) but both tables must carry their route only
+    assert(tUser.snapshot().where(col("role") =!= "user").count() == 0)
+    assert(tOther.snapshot().where(col("role") === "user").count() == 0)
+  }
+
+  test("changefeed-out sink: one keyed message per change event, resume-safe") {
+    val tmp = tmpDir("graft-feed")
+    val log = s"$tmp/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 5000, nConversations = 100, chunkSize = 1000,
+        dupEvery = 0), log)
+    val cfg = CdcPipeline.Config(log, s"$tmp/cp", maxFilesPerTrigger = 8)
+    ChangefeedSink.runToCompletion(spark, cfg, s"$tmp/out", reserveRawData = true)
+    val out = ChangefeedSink.read(spark, s"$tmp/out")
+    assert(out.count() == 5000)
+    assert(out.columns.toSeq == Seq("key", "value"))
+    val sample = out.limit(1).collect().head.getAs[String]("value")
+    assert(sample.contains(""""action":""") && sample.contains(""""date":"""))
+    // re-running the drained stream appends nothing (checkpointed offsets)
+    ChangefeedSink.runToCompletion(spark, cfg, s"$tmp/out", reserveRawData = true)
+    assert(ChangefeedSink.read(spark, s"$tmp/out").count() == 5000)
+  }
+
+  test("streaming metrics listener records per-batch progress") {
+    val tmp = tmpDir("graft-metrics")
+    val log = s"$tmp/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 3000, nConversations = 50, chunkSize = 1000,
+        dupEvery = 0, schemaEvolution = false), log)
+    val table = LakeTable.create(spark, s"$tmp/table", transcriptSchemaV0,
+      keys, Seq("conv_id"), 4)
+    val mPath = s"$tmp/metrics/progress.jsonl"
+    val l = Metrics.attach(spark, mPath)
+    try CdcPipeline.runToCompletion(spark, table,
+      CdcPipeline.Config(log, s"$tmp/cp", maxFilesPerTrigger = 8))
+    finally Metrics.detach(spark, l)
+    // listener events are async; wait briefly for the writes to land
+    val deadline = System.currentTimeMillis() + 10000
+    def lines() = if (java.nio.file.Files.exists(java.nio.file.Paths.get(mPath)))
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(mPath)).size else 0
+    while (lines() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(lines() >= 2, "expected started + ≥1 progress line")
+    val progress = spark.read.json(mPath).where(col("batchId").isNotNull)
+    assert(progress.count() >= 1)
+  }
+
+  test("typed Dataset[ChangeEvent] surface decodes images and keys") {
+    val tmp = tmpDir("graft-typed")
+    val log = s"$tmp/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 2000, nConversations = 40, chunkSize = 1000,
+        dupEvery = 0), log)
+    val wire = spark.read.schema(changeEventWireSchema).parquet(log)
+    val ds = ChangelogCodec.typed(wire)
+    val evs = ds.collect()
+    assert(evs.length == 2000)
+    assert(evs.forall(e => e.key.isDefined))
+    val ins = evs.filter(_.op == OpInsert)
+    assert(ins.nonEmpty && ins.forall(e => e.after.isDefined && e.before.isEmpty))
+    val del = evs.filter(_.op == OpDelete)
+    assert(del.nonEmpty && del.forall(e => e.after.isEmpty && e.before.isDefined))
+    val upd = evs.filter(_.op == OpUpdate)
+    assert(upd.nonEmpty && upd.forall(e => e.after.isDefined && e.before.isDefined))
+    // typed flatMap over the stream: 0..n ops per event (Lua analog, typed)
+    import spark.implicits._
+    val opsPerConv = ds.flatMap(e => e.image.map(t => t.conv_id).toSeq)
+      .groupByKey(identity).count().collect()
+    assert(opsPerConv.map(_._2).sum == 2000)
+  }
+}
