@@ -67,7 +67,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "12000000").toLong
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "16000000").toLong
     // N and 4N parallelism. Default 4→16: this sandbox's 32 vCPUs lose ~40%
     // per-core throughput when fully oversubscribed (measured: 64 pure-CPU
     // work units scale 1→8→16 nearly linearly, 32-wide only 21×), so the

@@ -212,17 +212,19 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
       .flatMap(_.files.map(_.path)).toSet
     var removedFiles = 0
     if (Files.isDirectory(dataDir)) {
-      Files.walk(dataDir).iterator().asScala
+      val w1 = Files.walk(dataDir)
+      try w1.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => referenced.contains(root.relativize(p).toString))
         .foreach { p => Files.deleteIfExists(p); removedFiles += 1 }
+      finally w1.close()
       // prune emptied commit directories
-      Files.walk(dataDir).iterator().asScala.toSeq.reverse
-        .filter(p => Files.isDirectory(p) && p != dataDir)
+      val w2 = Files.walk(dataDir)
+      val dirs = try w2.iterator().asScala.toSeq.reverse finally w2.close()
+      dirs.filter(p => Files.isDirectory(p) && p != dataDir)
         .foreach { p =>
           val it = Files.list(p)
-          val empty = !it.iterator().hasNext
-          it.close()
+          val empty = try !it.iterator().hasNext finally it.close()
           if (empty) Files.deleteIfExists(p)
         }
     }
@@ -300,8 +302,10 @@ object LakeTable {
 
   def exists(dir: String): Boolean = {
     val metaDir = Paths.get(dir).resolve("meta")
-    Files.isDirectory(metaDir) && Files.list(metaDir).iterator().asScala
-      .exists(_.getFileName.toString.matches("v\\d{8}\\.json"))
+    if (!Files.isDirectory(metaDir)) return false
+    val s = Files.list(metaDir)
+    try s.iterator().asScala.exists(_.getFileName.toString.matches("v\\d{8}\\.json"))
+    finally s.close()
   }
 
   private[lake] def listVersions(root: Path): Seq[Int] = {
