@@ -52,7 +52,17 @@ object QueryCatalog {
     try {
       val tableSchema = org.apache.spark.sql.types.StructType(
         input.schema.fields.filterNot(f => Set("_op", "_pos", "_event_ts")(f.name)))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_replay")
+      // RAM-backed scratch when available (single-disk sandbox); cleaned at exit
+      val scratch = {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          shm.toFile.getUsableSpace > (20L << 30)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(scratch, "graft_replay")
+      sys.addShutdownHook {
+        graft.changelog.ChangelogGenerator.deleteRecursively(tmp)
+      }
       val table = LakeTable.create(s, s"$tmp/table", tableSchema,
         keyCols = Seq("user_id", "slot"), bucketCols = Seq("user_id"), numBuckets = 16)
       val maxPos = input.agg(max("_pos")).head().getLong(0)
