@@ -3,6 +3,7 @@ package graft
 import graft.changelog.{ChangelogGenerator, ChangelogSpec}
 import graft.core.Types
 import graft.lake.LakeTable
+import graft.merge.MergeInto
 import graft.streaming.CdcPipeline
 import org.apache.spark.sql.SparkSession
 
@@ -101,7 +102,7 @@ object Bench {
     val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "4,16")
       .split(",").map(_.trim.toInt).toSeq
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     // clear stale RAM scratch from previous killed runs before allocating
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(scratchRoot).iterator().asScala
@@ -169,6 +170,10 @@ object Bench {
       val dir = s"$work/t$cores-$run"
       val groups = logFilesSorted(s)
       val (table, secs) = time(applyAll(s, s"$dir/table", log, groups))
+      // async compaction may still be running on this session — let it drain
+      // before stop(), or its tasks lose shuffle/scratch files mid-flight
+      // (the round-1 bench tail had exactly that executor exception)
+      MergeInto.awaitCompaction()
       require(table.refresh().lastOffset == nEvents - 1, "replay incomplete")
       s.stop()
       ChangelogGenerator.deleteRecursively(java.nio.file.Paths.get(dir))
@@ -205,6 +210,7 @@ object Bench {
             maxFilesPerTrigger = chunksPerBatch * spec.filesPerChunk,
             autoCompactMinRows = 2000000L))
       }
+      MergeInto.awaitCompaction()
       require(table.refresh().lastOffset == nEvents - 1, "stream replay incomplete")
       s.stop()
       ChangelogGenerator.deleteRecursively(java.nio.file.Paths.get(dir))

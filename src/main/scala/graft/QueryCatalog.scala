@@ -347,10 +347,38 @@ object QueryCatalog {
       .select(col("doc_id"), TextFunctions.fingerprintRolling(col("text")).as("fp64"))
       .orderBy("doc_id")
 
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified. DuckDB can't
+    * reproduce xxhash64 minhashes, but the VERIFIED output is oracle-checkable
+    * against all-pairs exact Jaccard because bands=16/rows=2 makes the LSH
+    * miss probability for a ≥0.6-Jaccard pair < 1e-3 (and the sf corpora's
+    * real dup pairs all sit at ≥0.9, where it is < 1e-11).
+    */
   def docMinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(read(s, dir, "documents"), "text", "doc_id",
-      k = 32, bands = 8, threshold = 0.6)
+      k = 32, bands = 16, threshold = 0.6)
       .orderBy("idA", "idB")
+
+  private def jaccardAllPairsSql(bound: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents $bound
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(t) >= 3
+       |      THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+       |      ELSE [array_to_string(t, ' ')] END AS sh
+       |  FROM toks
+       |), pairs AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      greatest(CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 1.0) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)
+       |SELECT idA, idB, jaccard FROM pairs WHERE jaccard >= 0.6
+       |ORDER BY idA, idB""".stripMargin
+
+  val docMinhashPairsSql: String = jaccardAllPairsSql("")
 
   def docSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(read(s, dir, "documents"), "text", "doc_id",
@@ -365,6 +393,8 @@ object QueryCatalog {
       read(s, dir, "documents").where(col("doc_id") < 1000), "text", "doc_id",
       threshold = 0.6)
       .orderBy("idA", "idB")
+
+  val docNgramJaccardPairsSql: String = jaccardAllPairsSql("WHERE doc_id < 1000")
 
   // ---------------------------------------------------- training-data: text
 
@@ -386,7 +416,9 @@ object QueryCatalog {
       |  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Quality features + heuristic language ID (heuristics — rows-only). */
+  /** Quality features + heuristic language ID — deterministic arithmetic,
+    * so fully DuckDB-oracled.
+    */
   def docQuality(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents").select(
       col("doc_id"), col("lang"),
@@ -394,6 +426,45 @@ object QueryCatalog {
       TextFunctions.qualityFeatures(col("text")).as("q"))
       .select("doc_id", "lang", "lang_pred", "q.*")
       .orderBy("doc_id")
+
+  val docQualitySql: String = {
+    def hits(lang: String, words: Seq[String]): String =
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        s"x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
+    s"""WITH f AS (
+       |  SELECT doc_id, lang,
+       |    length(text) AS n_chars,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       |    len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+       |    len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk,
+       |    ${hits("en", Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"))},
+       |    ${hits("de", Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"))},
+       |    ${hits("fr", Seq("le", "la", "les", "et", "est", "pas", "un", "une", "dans", "pour"))},
+       |    ${hits("es", Seq("el", "la", "los", "y", "es", "no", "un", "una", "en", "para"))}
+       |  FROM documents
+       |), g AS (
+       |  SELECT *,
+       |    CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS pr,
+       |    CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS ur,
+       |    CAST(n_chars AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS mwl,
+       |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS ls
+       |  FROM f
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN n_cjk > 0 THEN 'zh'
+       |       WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+       |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+       |       WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       |  n_chars, n_tokens,
+       |  round(pr, 6) AS punct_ratio,
+       |  round(ur, 6) AS upper_ratio,
+       |  round(mwl, 6) AS mean_word_len,
+       |  round(greatest(0.0, least(1.0, ls * (1.0 - pr * 4) * (1.0 - ur))), 6) AS quality
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------- training-data: similarity
 
@@ -485,12 +556,16 @@ object QueryCatalog {
     """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** Full multimodal feature pipeline + video frame sampling (stubbed codec
-    * → rows-only).
+  /** Full multimodal feature pipeline (stubbed codec → rows-only). The
+    * feature vector is emitted as JSON text so the driver's pandas compare
+    * can hash the row (a raw float array is unhashable there — round-1
+    * CORRECTNESS q31 err).
     */
   def mmFeaturesFull(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesizeMediaTable(read(s, dir, "documents"), "doc_id", "text")
-    Multimodal.extractFeatures(media).toDF().orderBy("media_id")
+    Multimodal.extractFeatures(media).toDF()
+      .withColumn("feature", to_json(col("feature")))
+      .orderBy("media_id")
   }
 
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {

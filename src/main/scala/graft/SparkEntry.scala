@@ -80,7 +80,10 @@ object SparkEntry {
     "q17_join_enrich" -> joinEnrichSql,
     "q18_doc_dedup_exact" -> docDedupExactSql,
     "q19_doc_fingerprint" -> docFingerprintSql,
+    "q21_doc_minhash_pairs" -> docMinhashPairsSql,
+    "q23_doc_ngram_jaccard" -> docNgramJaccardPairsSql,
     "q24_doc_text_stats" -> docTextStatsSql,
+    "q25_doc_quality" -> docQualitySql,
     "q26_emb_neardup" -> embNearDupPairsSql,
     "q27_emb_ann_topk" -> embAnnTopKSql,
     "q30_mm_features" -> mmFeaturesSql,
