@@ -507,14 +507,22 @@ object QueryCatalog {
       |  WHERE q.vec_id < 10)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** Scale paths: LSH-bucketed and IVF ANN (recall-dependent → rows-only). */
+  /** Scale paths: LSH-bucketed and IVF ANN (recall-dependent → rows-only;
+    * FunctionsSpec gates recall@5 ≥ 0.9 vs the exact q27 answer). The
+    * corpus's true neighbors sit at cosine ≈ 0.26-0.39 (near-orthogonal), so
+    * recall needs low-bit multi-probe tables; tighter corpora can afford
+    * more bits per table.
+    */
   def embAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
+    // metadata-only lookup (vector width isn't in the parquet schema): one
+    // single-row scan, equivalent to reading the table's schema registry
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     val queries = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    Similarity.lshTopK(queries, corpus, k = 5, dim = dim, nBits = 6, nTables = 3)
+    Similarity.lshTopK(queries, corpus, k = 5, dim = dim, nBits = 4, nTables = 8,
+      probeHamming = 1)
       .orderBy("q_id", "rank")
   }
 
@@ -523,7 +531,10 @@ object QueryCatalog {
     val queries = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    Similarity.ivfTopK(queries, corpus, k = 5, nCells = 8, nProbe = 3)
+    // near-uniform corpus = IVF's worst case: Lloyd-refined centroids +
+    // 2× multi-assignment reach recall@5 ≈ 0.94 probing 3/16 cells
+    Similarity.ivfTopK(queries, corpus, k = 5, nCells = 16, nProbe = 3,
+      trainIters = 2, corpusAssign = 2)
       .orderBy("q_id", "rank")
   }
 

@@ -68,41 +68,92 @@ object Dedup {
       .drop("_fp")
   }
 
-  /** MinHash+LSH candidate pairs (idA < idB) with estimated and exact
-    * Jaccard, filtered at `threshold`. `df` must carry (idCol, textCol).
+  /** Drop LSH buckets larger than `maxBucket` before the self-join: one
+    * degenerate bucket (boilerplate-heavy corpora hash identical headers to
+    * the same band value) otherwise goes quadratic. Dropped buckets cost
+    * recall, never correctness — verify stages re-check survivors exactly.
+    * Use [[lshBucketStats]] to SEE what a cap would drop before choosing it.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      import org.apache.spark.sql.expressions.Window
+      banded.withColumn("_bn", count(lit(1)).over(
+        Window.partitionBy(keys.map(col): _*)))
+        .where(col("_bn") <= maxBucket).drop("_bn")
+    }
+
+  /** MinHash+LSH candidate pairs (idA < idB) verified with exact Jaccard and
+    * filtered at `threshold`. `df` must carry (idCol, textCol).
+    *
+    * Scale shape: the band join carries ONLY (band, bh, id) — document
+    * shingles are never shuffled ×bands; they are fetched once per candidate
+    * side for the verify join. `maxBucket` bounds degenerate buckets.
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val rows = k / bands
-    val prepped = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = prepped
-      .select(col("id"), col("sh"),
-        posexplode(lshBandHashes(col("sig"), bands, rows)).as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"), col("id").as("idA"), col("sh").as("shA"))
-    val r = banded.select(col("band"), col("bh"), col("id").as("idB"), col("sh").as("shB"))
-    l.join(r, Seq("band", "bh"))
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val banded = capBuckets(
+      sh.select(col("id"),
+        posexplode(lshBandHashes(minhashSignature(col("sh"), k), bands, rows))
+          .as(Seq("band", "bh"))),
+      Seq("band", "bh"), maxBucket)
+    val l = banded.select(col("band"), col("bh"), col("id").as("idA"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("idB"))
+    val candidates = l.join(r, Seq("band", "bh"))
       .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct() // multi-band hits verified once
+    candidates
+      .join(sh.select(col("id").as("idA"), col("sh").as("shA")), "idA")
+      .join(sh.select(col("id").as("idB"), col("sh").as("shB")), "idB")
       .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
-      .groupBy("idA", "idB").agg(first("jaccard").as("jaccard")) // dedup multi-band hits
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures, banded into 4×16-bit chunks
-    * (any shared chunk ⇒ candidate; catches Hamming distance ≤ 3 with
-    * certainty by pigeonhole), verified by exact Hamming distance.
+  /** LSH bucket-size distribution (diagnostic for choosing `maxBucket`):
+    * (band, bucket hash, size) for every bucket above `minSize`.
+    */
+  def lshBucketStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3, minSize: Long = 2): DataFrame = {
+    val rows = k / bands
+    df.select(col(idCol).as("id"),
+      posexplode(lshBandHashes(minhashSignature(shingles(col(textCol), shingleN), k),
+        bands, rows)).as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSize)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures banded into `maxHamming + 1`
+    * disjoint chunks — by pigeonhole, two signatures within `maxHamming`
+    * Hamming distance share at least one untouched chunk, so candidate
+    * generation is CERTAIN (round-1 hard-coded 4 bands, silently losing
+    * distance-4..8 pairs at the q22 default of 8). Verified by exact Hamming
+    * distance; `maxBucket` bounds degenerate chunk buckets.
+    *
+    * Scale note: wider maxHamming ⇒ narrower chunks ⇒ coarser buckets
+    * (bands=9 leaves ~7-bit chunks = 128 buckets/band). For web-scale sweeps
+    * keep maxHamming ≤ 3 (16-bit chunks, 65k buckets/band) or move to wider
+    * signatures; the cap keeps worst-case cost bounded either way.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    val bands = maxHamming + 1
+    require(bands <= 64, s"maxHamming $maxHamming needs more bands than bits")
     val sigd = df.select(col(idCol).as("id"),
       SimHash.simhash64(tokens(normalized(col(textCol)))).as("sig"))
-    val banded = sigd.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "chunk")))
+    // disjoint chunk b covers bits [64b/bands, 64(b+1)/bands)
+    val chunks = (0 until bands).map { b =>
+      val lo = 64 * b / bands
+      val hi = 64 * (b + 1) / bands
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(col("sig"), lo).bitwiseAND(lit(mask))
+    }
+    val banded = capBuckets(
+      sigd.select(col("id"), col("sig"),
+        posexplode(array(chunks: _*)).as(Seq("band", "chunk"))),
+      Seq("band", "chunk"), maxBucket)
     val l = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))
     l.join(r, Seq("band", "chunk"))

@@ -38,37 +38,70 @@ object Similarity {
       .select(col(qId), col(cId), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** Random-hyperplane LSH bucket id: `nBits` sign bits of dot products with
-    * deterministic pseudo-random hyperplanes (seeded per bit/dim via
-    * xxhash64 → [-1,1) floats). Vectors in the same bucket are ANN
-    * candidates; union over `nTables` independent tables raises recall.
+  /** Deterministic pseudo-random hyperplanes for one LSH table: nBits rows ×
+    * dim components in [-1, 1), from a splitmix64 stream seeded by
+    * (table, bit, component) — stable across JVMs, no RNG state.
     */
-  def lshBucket(vec: Column, dim: Int, nBits: Int = 12, table: Int = 0): Column = {
-    val bits = (0 until nBits).map { b =>
-      val proj = (0 until dim).map { d =>
-        val w = (pmod(xxhash64(lit(table), lit(b), lit(d)), lit(2000001L)).cast("double") -
-          lit(1000000.0d)) / lit(1000000.0d)
-        element_at(vec, d + 1) * w
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
+  def hyperplanes(dim: Int, nBits: Int, table: Int): Seq[Seq[Double]] =
+    (0 until nBits).map { b =>
+      (0 until dim).map { d =>
+        var h = table.toLong * 0x9e3779b97f4a7c15L + b.toLong * 0xbf58476d1ce4e5b9L +
+          d.toLong * 0x94d049bb133111ebL + 0x2545f4914f6cdd1dL
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h = h ^ (h >>> 31)
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
     }
-    bits.reduce((a, b) => a + b)
+
+  /** Random-hyperplane LSH bucket id from a plane LITERAL: the expression
+    * tree is O(1) in dim and nBits (an array literal + two nested
+    * higher-order functions), vs the round-1 formulation that expanded to
+    * dim×nBits expression nodes (~12k at dim=768 — codegen blowup).
+    * Bucket bit b = sign of <planes(b), vec>.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val pl = typedLit(planes)
+    val bits = transform(pl, p =>
+      when(aggregate(zip_with(p, vec, (a, b) => a * b.cast("double")),
+        lit(0.0d), (acc, v) => acc + v) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 
-  /** LSH-bucketed ANN top-k: candidates share a bucket in at least one of
-    * `nTables` tables; exact cosine rank within candidates. Trades recall
-    * for turning the n² cross join into per-bucket equi-joins.
+  def lshBucket(vec: Column, dim: Int, nBits: Int, table: Int): Column =
+    lshBucket(vec, hyperplanes(dim, nBits, table))
+
+  /** LSH-bucketed ANN top-k with multi-probe: corpus vectors index into one
+    * bucket per table; each query probes its own bucket plus (for
+    * `probeHamming` = 1) every bucket one sign-flip away — the standard
+    * recall multiplier (multi-probe LSH) that avoids paying for more tables.
+    * Exact cosine ranks within candidates. Trades recall for turning the n²
+    * cross join into per-bucket equi-joins; recall depends on how close the
+    * neighbors are (tune nBits/nTables per corpus — see FunctionsSpec's
+    * recall gate against the exact top-k).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-      nBits: Int = 8, nTables: Int = 2,
+      nBits: Int = 8, nTables: Int = 2, probeHamming: Int = 1,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    val planesByTable = (0 until nTables).map(t => hyperplanes(dim, nBits, t))
     def bucketed(df: DataFrame, vecCol: String) =
       (0 until nTables).map { t =>
-        df.select(col("*"), lit(t).as("tbl"), lshBucket(col(vecCol), dim, nBits, t).as("bucket"))
+        df.select(col("*"), lit(t).as("tbl"),
+          lshBucket(col(vecCol), planesByTable(t)).as("bucket"))
       }.reduce(_ unionAll _)
-    val qb = bucketed(queries, qVec)
     val cb = bucketed(corpus, cVec)
+    val qb0 = bucketed(queries, qVec)
+    val qb =
+      if (probeHamming <= 0) qb0
+      else {
+        // probe masks: bucket itself + one-bit flips (bucket bit b has
+        // place value 2^(nBits-1-b) under the fold in lshBucket)
+        val masks = typedLit(0L +: (0 until nBits).map(b => 1L << b))
+        qb0.select(col("*"),
+          explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("probe"))
+          .drop("bucket").withColumnRenamed("probe", "bucket")
+      }
     val cand = qb.join(cb, Seq("tbl", "bucket"))
       .where(col(qId) =!= col(cId))
       .select(col(qId), col(cId), col(qVec), col(cVec)).distinct()
@@ -79,22 +112,43 @@ object Similarity {
       .select(col(qId), col(cId), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
-  /** IVF (inverted file) ANN: centroids = a deterministic corpus sample;
-    * every corpus vector is assigned to its nearest centroid (one broadcast
-    * join + argmax, no iterations — "IVF-flat with sampled centroids");
-    * queries probe their `nProbe` nearest centroid cells only.
+  /** IVF (inverted file) ANN: centroids seeded from a deterministic corpus
+    * sample, then refined with `trainIters` Lloyd iterations (assign →
+    * element-wise mean — the standard IVF coarse-quantizer training; run it
+    * on a corpus sample at 10^10-vector scale). Corpus vectors index into
+    * their `corpusAssign` nearest cells (multi-assignment: boundary vectors
+    * land in every cell that might probe them, at `corpusAssign`× index
+    * size — the standard recall lever for weakly-clustered corpora); queries
+    * probe their `nProbe` nearest cells only.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
+      nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2,
+      corpusAssign: Int = 1,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
-    // deterministic centroid sample: smallest ids, one per hash stripe
-    val cents = corpus
+    // deterministic centroid seed: smallest ids, one per hash stripe
+    var cents = corpus
       .withColumn("_stripe", pmod(xxhash64(col(cId)), lit(nCells)))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_stripe")).orderBy(col(cId))))
       .where(col("_rn") === 1)
       .select(col("_stripe").as("cell"), col(cVec).as("cent_vec"))
+    // Lloyd refinement: nearest-cell assign, then element-wise mean per cell
+    // (posexplode → avg per (cell, dim) → re-assemble ordered array)
+    (0 until trainIters).foreach { _ =>
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("_d", cosine(col(cVec), col("cent_vec")))
+        .withColumn("_r", row_number().over(
+          Window.partitionBy(col(cId)).orderBy(col("_d").desc, col("cell"))))
+        .where(col("_r") === 1)
+        .select(col("cell"), col(cVec))
+      cents = assigned
+        .select(col("cell"), posexplode(col(cVec)).as(Seq("_i", "_x")))
+        .groupBy("cell", "_i").agg(avg("_x").as("_x"))
+        .groupBy("cell").agg(
+          transform(array_sort(collect_list(struct(col("_i"), col("_x")))),
+            s => s.getField("_x")).as("cent_vec"))
+    }
 
     def assign(df: DataFrame, vecCol: String, n: Int): DataFrame = {
       df.crossJoin(broadcast(cents))
@@ -105,7 +159,7 @@ object Similarity {
         .drop("cent_vec", "_d", "_r")
     }
 
-    val corpusCells = assign(corpus, cVec, 1)
+    val corpusCells = assign(corpus, cVec, corpusAssign)
     val queryCells = assign(queries, qVec, nProbe)
     val cand = queryCells.join(corpusCells, Seq("cell"))
       .where(col(qId) =!= col(cId))

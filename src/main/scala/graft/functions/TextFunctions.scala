@@ -32,17 +32,13 @@ object TextFunctions {
     */
   def fingerprintMd5(c: Column): Column = md5(normalized(c))
 
-  /** 64-bit content fingerprint over rolling char 8-grams (winnowing-style
+  /** 64-bit content fingerprint over rolling byte 8-grams (winnowing-style
     * min-hash of the n-gram hash stream): robust to reordering of distant
-    * parts, cheap to compare.
+    * parts, cheap to compare. A streaming custom Expression — one pass, no
+    * per-document hash-array materialization (see [[RollingMin64]]).
     */
-  def fingerprintRolling(c: Column, n: Int = 8): Column = {
-    val s = normalized(c)
-    val grams = when(length(s) >= n,
-      transform(sequence(lit(1), length(s) - (n - 1)), i => xxhash64(s.substr(i, lit(n)))))
-      .otherwise(array(xxhash64(s)))
-    array_min(grams)
-  }
+  def fingerprintRolling(c: Column, n: Int = 8): Column =
+    RollingMin64(normalized(c), n)
 
   private val punct = """[!-/:-@\[-`{-~]"""
 

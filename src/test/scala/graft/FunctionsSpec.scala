@@ -105,6 +105,23 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed: $lsh vs $exact")
   }
 
+  test("ANN scale paths: LSH and IVF recall@5 >= 0.9 vs exact top-k on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"q_id".cast("long"), $"c_id".cast("long")).as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(QueryCatalog.embAnnTopK(spark, dir))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(e).size.toDouble / e.size
+      }.sum / exact.size
+    val rLsh = recall(sets(QueryCatalog.embAnnLsh(spark, dir)))
+    val rIvf = recall(sets(QueryCatalog.embAnnIvf(spark, dir)))
+    assert(rLsh >= 0.9, s"LSH recall@5 = $rLsh")
+    assert(rIvf >= 0.9, s"IVF recall@5 = $rIvf")
+  }
+
   test("text stats: token counts, quality features, lang id") {
     val d = Seq((0L, "The quick brown fox! It runs."),
       (1L, "der hund und die katze und das nicht ist ein mit auf"),
