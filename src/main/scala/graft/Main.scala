@@ -46,6 +46,20 @@ object Main {
         Types.transcriptKey, Seq("conv_id"), buckets)
       println(s"created table: $dir (buckets=$buckets, schema_id=0)")
 
+    // declarative one-file pipeline — the reference's app.yml UX
+    case "run-config" :: cfgPath :: _ =>
+      val c = graft.config.GraftConfig.load(cfgPath)
+      graft.streaming.ConfigPipeline.runToCompletion(spark, c)
+      c.routes.foreach { r =>
+        if (r.target == "lake") {
+          val t = LakeTable.load(spark, r.tableDir)
+          val m = t.refresh()
+          println(s"route ${r.name}: epoch=${m.lastEpoch} offset=${m.lastOffset} " +
+            s"rows=${t.snapshot().count()} v=${m.version}")
+        } else println(s"route ${r.name}: " +
+          s"${spark.read.parquet(r.outDir).count()} messages at ${r.outDir}")
+      }
+
     case "run" :: log :: tableDir :: cp :: _ =>
       val table = LakeTable.load(spark, tableDir)
       CdcPipeline.runToCompletion(spark, table, CdcPipeline.Config(log, cp))

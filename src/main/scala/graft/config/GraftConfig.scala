@@ -1,0 +1,163 @@
+package graft.config
+
+import graft.rules.{ExprOp, Rule}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Declarative pipeline configuration — the engine analog of the reference's
+  * one-YAML UX (`app.yml`, parsed at global/config.go:142-196 with per-table
+  * rules global/rule.go:345-407): a user declares source, routes, rules and
+  * sink shape, then runs `graft.Main run-config <file>` — no Scala compile.
+  *
+  * {{{
+  * changelog_dir: /data/log
+  * checkpoint_dir: /data/cp
+  * max_files_per_trigger: 8
+  * trigger_ms: 200
+  * merge_mode: mor
+  * routes:
+  *   - name: transcripts
+  *     filter: "conv_id IS NOT NULL"       # routing predicate (S3)
+  *     target: lake                        # lake | changefeed
+  *     table_dir: /data/t1
+  *     key_columns: [conv_id, turn_idx]
+  *     bucket_columns: [conv_id]
+  *     num_buckets: 64
+  *     rule:                               # P1-P12 + runtime expressions
+  *       include_columns: [conv_id, turn_idx, role, text]
+  *       column_mappings: {role: speaker}
+  *       default_columns: {source: binlog}
+  *       case_transform: lower
+  *       date_formats: {ts: "yyyy-MM-dd"}
+  *       filter: "turn_idx >= 0"
+  *       computed: {text_len: "length(text)"}
+  *     ops:                                # optional script-sink analog
+  *       - {target: redis, action: SET, key: "concat('u:', conv_id)", value: "text"}
+  * }}}
+  */
+final case class RouteConf(
+    name: String,
+    filter: String = "true",
+    target: String = "lake", // lake | changefeed
+    tableDir: String = null,
+    outDir: String = null,   // changefeed output
+    keyColumns: Seq[String] = Nil,
+    bucketColumns: Seq[String] = Nil,
+    numBuckets: Int = 32,
+    reserveRawData: Boolean = false,
+    rule: Rule = Rule(),
+    ops: Seq[ExprOp] = Nil)
+
+final case class GraftConfig(
+    changelogDir: String,
+    checkpointDir: String,
+    maxFilesPerTrigger: Int = 4,
+    triggerMs: Long = 200L,
+    mergeMode: String = "mor",
+    saltedDedup: Int = 0,
+    autoCompactRatio: Double = 4.0,
+    autoCompactMinRows: Long = 200000L,
+    allowPipelineTakeover: Boolean = false,
+    routes: Seq[RouteConf] = Nil)
+
+object GraftConfig {
+
+  def load(path: String): GraftConfig =
+    parse(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  def parse(yamlText: String): GraftConfig = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val root = asMap(yaml.load[Any](yamlText))
+    val routes = list(root, "routes").map(r => parseRoute(asMap(r)))
+    require(routes.nonEmpty, "config needs at least one route")
+    GraftConfig(
+      changelogDir = str(root, "changelog_dir", required = true),
+      checkpointDir = str(root, "checkpoint_dir", required = true),
+      maxFilesPerTrigger = int(root, "max_files_per_trigger", 4),
+      triggerMs = long(root, "trigger_ms", 200L),
+      mergeMode = str(root, "merge_mode", default = "mor"),
+      saltedDedup = int(root, "salted_dedup", 0),
+      autoCompactRatio = dbl(root, "auto_compact_ratio", 4.0),
+      autoCompactMinRows = long(root, "auto_compact_min_rows", 200000L),
+      allowPipelineTakeover = bool(root, "allow_pipeline_takeover", default = false),
+      routes = routes)
+  }
+
+  private def parseRoute(m: Map[String, Any]): RouteConf = {
+    val target = str(m, "target", default = "lake")
+    require(Set("lake", "changefeed")(target), s"unknown route target: $target")
+    val rc = RouteConf(
+      name = str(m, "name", required = true),
+      filter = str(m, "filter", default = "true"),
+      target = target,
+      tableDir = str(m, "table_dir"),
+      outDir = str(m, "out_dir"),
+      keyColumns = strList(m, "key_columns"),
+      bucketColumns = strList(m, "bucket_columns"),
+      numBuckets = int(m, "num_buckets", 32),
+      reserveRawData = bool(m, "reserve_raw_data", default = false),
+      rule = m.get("rule").map(r => parseRule(asMap(r))).getOrElse(Rule()),
+      ops = list(m, "ops").map(o => parseOp(asMap(o))))
+    if (rc.target == "lake") {
+      require(rc.tableDir != null, s"route ${rc.name}: lake target needs table_dir")
+      require(rc.keyColumns.nonEmpty, s"route ${rc.name}: lake target needs key_columns")
+    } else require(rc.outDir != null, s"route ${rc.name}: changefeed target needs out_dir")
+    rc
+  }
+
+  /** The reference's per-rule keys, one-to-one where semantics allow
+    * (include/exclude/mappings/defaults/case: global/rule.go:345-448;
+    * date formatters: rule.go:242-248; filter/computed replace Lua).
+    */
+  private def parseRule(m: Map[String, Any]): Rule = Rule(
+    includeColumns = strList(m, "include_columns"),
+    excludeColumns = strList(m, "exclude_columns"),
+    columnMappings = strMap(m, "column_mappings"),
+    caseTransform = Option(str(m, "case_transform")),
+    defaultColumns = strMap(m, "default_columns").toSeq,
+    dateFormats = strMap(m, "date_formats"),
+    filterExpr = Option(str(m, "filter")),
+    computedColumns = strMap(m, "computed").toSeq)
+
+  private def parseOp(m: Map[String, Any]): ExprOp = ExprOp(
+    target = str(m, "target", required = true),
+    action = str(m, "action", required = true),
+    key = str(m, "key", required = true),
+    when = str(m, "when", default = "true"),
+    field = str(m, "field", default = "NULL"),
+    score = str(m, "score", default = "0.0"),
+    value = str(m, "value", default = "NULL"))
+
+  // ------------------------------------------------ permissive YAML access
+
+  private def asMap(v: Any): Map[String, Any] = v match {
+    case null => Map.empty
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => String.valueOf(k) -> x }.toMap
+    case other => throw new IllegalArgumentException(s"expected a map, got: $other")
+  }
+  private def list(m: Map[String, Any], k: String): Seq[Any] = m.get(k) match {
+    case Some(l: java.util.List[_]) => l.asScala.toSeq
+    case Some(null) | None => Nil
+    case Some(other) => throw new IllegalArgumentException(s"$k must be a list, got: $other")
+  }
+  private def strList(m: Map[String, Any], k: String): Seq[String] =
+    list(m, k).map(String.valueOf)
+  private def strMap(m: Map[String, Any], k: String): Map[String, String] =
+    m.get(k).map(asMap).getOrElse(Map.empty).map { case (a, b) => a -> String.valueOf(b) }
+  private def str(m: Map[String, Any], k: String, default: String = null,
+      required: Boolean = false): String = m.get(k) match {
+    case Some(v) if v != null => String.valueOf(v)
+    case _ if required => throw new IllegalArgumentException(s"config key required: $k")
+    case _ => default
+  }
+  private def int(m: Map[String, Any], k: String, default: Int): Int =
+    m.get(k).map(v => String.valueOf(v).toInt).getOrElse(default)
+  private def long(m: Map[String, Any], k: String, default: Long): Long =
+    m.get(k).map(v => String.valueOf(v).toLong).getOrElse(default)
+  private def dbl(m: Map[String, Any], k: String, default: Double): Double =
+    m.get(k).map(v => String.valueOf(v).toDouble).getOrElse(default)
+  private def bool(m: Map[String, Any], k: String, default: Boolean): Boolean =
+    m.get(k).map(v => String.valueOf(v).toBoolean).getOrElse(default)
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** One data file of a snapshot; `path` is relative to the table root.
@@ -42,11 +42,19 @@ final case class LineageEntry(epoch: Long, bucket: Int, upserted: Long,
 final case class CommitInfo(version: Int, epoch: Long, offset: Long,
     tsMillis: Long, operation: String, replayed: Long = 0L)
 
-/** Versioned table metadata. The pair (lastEpoch, lastOffset) is the
-  * exactly-once fence: it is committed ATOMICALLY with the snapshot that
-  * contains the batch's rows, upgrading the reference's save-position-after-
-  * consume at-least-once protocol (reference: service/handler.go:173-191,
-  * storage/bolt_position_storage.go:48-57) to exactly-once table state.
+/** The FOLDED, in-memory view of the table at one version. The pair
+  * (lastEpoch, lastOffset) is the exactly-once fence: it is committed
+  * ATOMICALLY with the snapshot that contains the batch's rows, upgrading the
+  * reference's save-position-after-consume at-least-once protocol (reference:
+  * service/handler.go:173-191, storage/bolt_position_storage.go:48-57) to
+  * exactly-once table state. `lastPipelineId` binds the fence to the
+  * streaming query's checkpoint identity, so batchIds from a DIFFERENT
+  * checkpoint are never silently fenced as replays (the Delta idempotent-sink
+  * txn-appId pattern).
+  *
+  * NOT serialized as a whole: on disk each version is a [[MetaSegment]]
+  * (delta of one commit, or a periodic full snapshot); `baseVersion` points
+  * at the snapshot segment this view folds from.
   */
 final case class TableMeta(
     version: Int,
@@ -59,11 +67,42 @@ final case class TableMeta(
     lastOffset: Long,
     files: List[FileEntry],
     lineage: List[LineageEntry],
-    history: List[CommitInfo]) {
+    history: List[CommitInfo],
+    baseVersion: Int = 1,
+    lastPipelineId: String = "") {
   def schema: StructType =
     DataType.fromJson(schemas(schemaId.toString)).asInstanceOf[StructType]
   def schemaFor(id: Int): StructType =
     DataType.fromJson(schemas(id.toString)).asInstanceOf[StructType]
+}
+
+/** One version file on disk. A commit serializes ONLY its own delta (files
+  * added/removed, its lineage/history rows) plus the small scalar state;
+  * every `SnapshotEvery` commits a full snapshot segment (`filesFull`
+  * present) re-anchors the chain — the Iceberg manifest-list shape. Commit
+  * cost is therefore O(batch), not O(table): round 1 reserialized the entire
+  * file list + up to 100k lineage rows on EVERY commit, which at 100 TB
+  * (millions of files) means GBs of JSON per micro-batch.
+  */
+final case class MetaSegment(
+    version: Int,
+    baseVersion: Int,
+    schemaId: Int,
+    schemas: Map[String, String],
+    keyCols: List[String],
+    bucketCols: List[String],
+    numBuckets: Int,
+    lastEpoch: Long,
+    lastOffset: Long,
+    lastPipelineId: String,
+    addedFiles: List[FileEntry],
+    removedPaths: List[String],
+    lineageAdd: List[LineageEntry],
+    historyAdd: List[CommitInfo],
+    filesFull: Option[List[FileEntry]] = None,
+    lineageFull: Option[List[LineageEntry]] = None,
+    historyFull: Option[List[CommitInfo]] = None) {
+  def isSnapshot: Boolean = filesFull.isDefined
 }
 
 /** Minimal snapshot-table format ("LakeTable") with the lake properties the
@@ -73,25 +112,58 @@ final case class TableMeta(
   *
   * Layout:
   * {{{
-  *   <root>/meta/v00000001.json     — one JSON per version; latest = max N
-  *   <root>/data/<commit-uuid>/_bucket=<b>/part-*.parquet
+  *   <root>/meta/v00000001.json     — one MetaSegment per version
+  *   <root>/data/<commit-uuid>/bkt=<b>/del=<bool>/part-*.parquet
   * }}}
   *
-  * Commits stage the JSON to a temp file and atomically rename it into
-  * place; the reader takes the highest version present. Same-directory
-  * rename is atomic on local/HDFS filesystems (object stores would need a
-  * conditional-put — documented caveat, SURVEY.md §7.5).
+  * Commit protocol: stage the segment JSON to a uniquely-named temp file,
+  * then `Files.createLink(dest, tmp)` — a hard link CANNOT replace an
+  * existing destination, so of two processes racing to commit the same
+  * version exactly one wins and the loser gets an exception. (Round 1 used
+  * rename with ATOMIC_MOVE, but POSIX rename silently REPLACES an existing
+  * destination — the loser's commit clobbered the winner's.) Readers see
+  * either no file or the complete file. Object stores would need a
+  * conditional put — documented caveat, SURVEY.md §7.5.
   */
 final class LakeTable private (val root: Path, val spark: SparkSession) {
+  import LakeTable._
+
   @volatile private var metaCache: TableMeta = LakeTable.readLatestMeta(root)
 
   def meta: TableMeta = metaCache
-  def refresh(): TableMeta = { metaCache = LakeTable.readLatestMeta(root); metaCache }
+
+  /** Re-resolve the latest version. Incremental: only segments NEWER than the
+    * cached version are read and folded forward — refresh cost is O(new
+    * commits), never O(table history).
+    */
+  def refresh(): TableMeta = synchronized {
+    val cached = metaCache
+    val latest = listVersions(root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no table at $root"))
+    if (latest == cached.version) cached
+    else if (latest > cached.version) {
+      val segs = (cached.version + 1 to latest).map(v => readSegment(root, v))
+      metaCache = foldSegments(cached, segs)
+      metaCache
+    } else { // table rolled back externally (never happens in-process)
+      metaCache = readLatestMeta(root)
+      metaCache
+    }
+  }
 
   /** Hidden per-row version column: the change-log position last applied to
     * the row. Drives cross-batch last-writer-wins under replay.
     */
   val PosCol = "_graft_pos"
+
+  /** Hidden per-row event timestamp (millis may be null): persisted so the
+    * read-side LWW resolve uses the SAME (pos, ts, tombstone-rank) order as
+    * the merge path — inputs with duplicate positions no longer get
+    * nondeterministic MOR/COW-divergent winners (only an exact (pos, ts) tie
+    * between an insert and an update of the same key stays ambiguous, as it
+    * is in any LWW scheme).
+    */
+  val TsCol = "_graft_ts"
 
   /** Hidden tombstone flag: deletes are persisted as tombstone rows (key +
     * pos + del=true) so a replayed OLDER insert of the same key still loses
@@ -109,23 +181,29 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
   /** Current snapshot as a DataFrame (live rows, row columns only);
     * pure-base tombstone files are pruned at the manifest without a scan.
     */
-  def snapshot(): DataFrame =
-    snapshotForBuckets(null, includeBaseTombstones = false)
-      .where(!col(DelCol)).drop(PosCol, DelCol)
+  def snapshot(): DataFrame = snapshot(meta)
 
-  /** Resolved snapshot including hidden [[PosCol]]/[[DelCol]] and tombstones:
-    * merge-on-read resolution — buckets that carry delta files get a per-key
-    * LWW reduce (greatest (pos, del-rank) wins); pure-base buckets stream
-    * through untouched (no shuffle).
+  /** Snapshot of an EXPLICIT metadata version — pure (no shared state is
+    * touched), so time travel and concurrent readers/compactors can never
+    * observe each other's view (round 1 temporarily swapped the shared
+    * metaCache, racing the async compactor).
     */
-  def snapshotWithMeta(): DataFrame = snapshotForBuckets(null)
+  def snapshot(m: TableMeta): DataFrame =
+    snapshotForBuckets(m, null, includeBaseTombstones = false)
+      .where(!col(DelCol)).drop(PosCol, TsCol, DelCol)
+
+  /** Resolved snapshot including hidden [[PosCol]]/[[TsCol]]/[[DelCol]] and
+    * tombstones: merge-on-read resolution — buckets that carry delta files
+    * get a per-key LWW reduce; pure-base buckets stream through untouched
+    * (no shuffle).
+    */
+  def snapshotWithMeta(m: TableMeta = meta): DataFrame = snapshotForBuckets(m, null)
 
   /** Resolved snapshot restricted to the given buckets (null = all) —
     * partition pruning via the file manifest.
     */
-  def snapshotForBuckets(buckets: Set[Int],
+  def snapshotForBuckets(m: TableMeta, buckets: Set[Int],
       includeBaseTombstones: Boolean = true): DataFrame = {
-    val m = meta
     val files = if (buckets == null) m.files
       else m.files.filter(f => buckets.contains(f.bucket))
     val deltaBuckets = files.filter(_.kind == "delta").map(_.bucket).toSet
@@ -133,47 +211,50 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     // pure-base buckets need no LWW resolve; for LIVE reads their tombstone
     // files can additionally be pruned at the manifest (no scan at all) —
     // merge-side reads must keep them (anti-resurrection)
-    val pureDf = readAligned(
+    val pureDf = readAligned(m,
       if (includeBaseTombstones) pure else pure.filterNot(_.del))
     if (unresolved.isEmpty) pureDf
-    else pureDf.unionAll(resolveLww(readAligned(unresolved)))
+    else pureDf.unionAll(resolveLww(readAligned(m, unresolved), m.keyCols))
   }
 
-  /** Per-key LWW over base+delta rows: winner = greatest (applied pos,
-    * tombstone-rank). Same total order as the merge path.
+  /** Per-key LWW over base+delta rows: winner = greatest (applied pos, event
+    * ts, tombstone-rank) — the same total order the merge path uses.
     */
-  def resolveLww(df: DataFrame): DataFrame = {
+  def resolveLww(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val all = struct(df.columns.map(col): _*)
-    val ord = struct(col(PosCol), col(DelCol).cast("int"))
-    df.groupBy(meta.keyCols.map(col): _*)
+    val ord = struct(col(PosCol),
+      coalesce(col(TsCol), lit(0L).cast("timestamp")), col(DelCol).cast("int"))
+    df.groupBy(keyCols.map(col): _*)
       .agg(max_by(all, ord).as("_w")).select(col("_w.*"))
   }
 
-  /** Read data files, aligning every historic schemaId to the CURRENT schema:
-    * missing columns → null, narrower types → cast (int→long etc.). Grouped
-    * by schemaId so each parquet scan uses exactly the schema its footers
-    * carry — no reliance on reader-side type promotion.
+  /** Read data files of an explicit metadata version, aligning every historic
+    * schemaId to that version's schema: missing columns → null, narrower
+    * types → cast (int→long etc.). Grouped by schemaId so each parquet scan
+    * uses exactly the schema its footers carry — no reliance on reader-side
+    * type promotion.
     */
-  private def readAligned(files: Seq[FileEntry]): DataFrame = {
-    val m = meta
+  private def readAligned(m: TableMeta, files: Seq[FileEntry]): DataFrame = {
     val cur = m.schema
     val target = cur.fields.map(f => (f.name, f.dataType))
+    val hiddenTail = Seq(StructField(PosCol, LongType), StructField(TsCol, TimestampType),
+      StructField(DelCol, BooleanType))
     if (files.isEmpty) {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(cur.fields ++ Seq(StructField(PosCol, LongType),
-          StructField(DelCol, BooleanType))))
+        StructType(cur.fields ++ hiddenTail))
     }
     // group by (written schema, tombstone flag): each scan uses exactly the
     // schema its footers carry; the del flag re-attaches from the manifest
     files.groupBy(f => (f.schemaId, f.del)).map { case ((sid, del), group) =>
-      val stored = StructType(m.schemaFor(sid).fields :+ StructField(PosCol, LongType))
+      val stored = StructType(m.schemaFor(sid).fields ++
+        Seq(StructField(PosCol, LongType), StructField(TsCol, TimestampType)))
       val storedNames = stored.fieldNames.toSet
       val paths = group.map(f => root.resolve(f.path).toString)
       spark.read.schema(stored).parquet(paths: _*)
         .select((target.map { case (n, dt) =>
           if (storedNames.contains(n)) col(n).cast(dt).as(n)
           else lit(null).cast(dt).as(n)
-        } ++ Seq(col(PosCol), lit(del).as(DelCol))): _*)
+        } ++ Seq(col(PosCol), col(TsCol), lit(del).as(DelCol))): _*)
     }.reduce(_ unionAll _)
   }
 
@@ -190,33 +271,63 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
 
   /** Time travel: the live snapshot as of table version `v`. Data files are
     * immutable and only vacuum removes them, so any retained version is
-    * reconstructible from its metadata JSON alone.
+    * reconstructible from its metadata segments alone. Pure — never touches
+    * the live metaCache.
     */
-  def snapshotAt(v: Int): DataFrame = {
-    val saved = LakeTable.readMetaVersion(root, v)
-    val cur = metaCache
-    metaCache = saved
-    try snapshot() finally { metaCache = cur }
-  }
+  def snapshotAt(v: Int): DataFrame = snapshot(LakeTable.readMetaVersion(root, v))
 
-  /** Vacuum: delete metadata versions older than the newest `keepVersions`
-    * and any data file no retained version references. Time travel keeps
-    * working for retained versions; this is the maintenance op that bounds
-    * storage at a 10^10-event scale (delta/compaction commits strand old
-    * files by design — COW semantics never delete eagerly).
+  /** Metadata view at a historic version (pure). */
+  def metaAt(v: Int): TableMeta = LakeTable.readMetaVersion(root, v)
+
+  /** Vacuum: bound metadata history and data storage.
+    *
+    *  - Re-anchors the tip on a full snapshot segment (if it is a delta), so
+    *    retention can actually cut the fold chain.
+    *  - Drops every segment below the retention window (minus any segments
+    *    still needed to FOLD a retained version).
+    *  - Deletes data files that were referenced by dropped versions but by
+    *    no surviving one. Files referenced by NO version — e.g. a concurrent
+    *    merge/compaction's staged-but-uncommitted output — are NEVER touched
+    *    (round 1 deleted "everything unreferenced", racing in-flight
+    *    commits); pass `orphanGraceMs >= 0` to also reap unreferenced files
+    *    older than the grace window (crash leftovers).
     */
-  def vacuum(keepVersions: Int = 2): (Int, Int) = synchronized {
+  def vacuum(keepVersions: Int = 2, orphanGraceMs: Long = -1L): (Int, Int) = synchronized {
+    // self-contained tip so the fold chain can be cut at the window edge
+    if (!readSegment(root, versions().last).isSnapshot)
+      commitAtomic(m => m.copy(
+        version = m.version + 1,
+        history = m.history :+ CommitInfo(m.version + 1, m.lastEpoch, m.lastOffset,
+          System.currentTimeMillis(), "vacuum-snapshot")),
+        forceSnapshot = true)
     val all = versions()
-    val (drop, keep) = all.splitAt(math.max(0, all.size - math.max(1, keepVersions)))
-    val referenced = keep.map(v => LakeTable.readMetaVersion(root, v))
-      .flatMap(_.files.map(_.path)).toSet
+    val kept = all.takeRight(math.max(1, keepVersions))
+    val cut = math.min(kept.map(v => readSegment(root, v).baseVersion).min, kept.head)
+    val dropSegs = all.filter(_ < cut)
+    val surviving = all.filterNot(dropSegs.contains)
+    // referenced-by = union of (filesFull ∪ addedFiles) over segments: every
+    // file in a version's fold was added by some segment at-or-below it
+    def refOf(vs: Seq[Int]): Set[String] = vs.flatMap { v =>
+      val s = readSegment(root, v)
+      s.filesFull.getOrElse(Nil).map(_.path) ++ s.addedFiles.map(_.path)
+    }.toSet
+    val survivingRef = refOf(surviving)
+    val droppedRef = refOf(dropSegs)
     var removedFiles = 0
     if (Files.isDirectory(dataDir)) {
+      val now = System.currentTimeMillis()
       val w1 = Files.walk(dataDir)
       try w1.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => referenced.contains(root.relativize(p).toString))
-        .foreach { p => Files.deleteIfExists(p); removedFiles += 1 }
+        .foreach { p =>
+          val rel = root.relativize(p).toString
+          val delete =
+            if (survivingRef.contains(rel)) false
+            else if (droppedRef.contains(rel)) true
+            else orphanGraceMs >= 0L &&
+              (now - Files.getLastModifiedTime(p).toMillis) > orphanGraceMs
+          if (delete) { Files.deleteIfExists(p); removedFiles += 1 }
+        }
       finally w1.close()
       // prune emptied commit directories
       val w2 = Files.walk(dataDir)
@@ -228,8 +339,8 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
           if (empty) Files.deleteIfExists(p)
         }
     }
-    drop.foreach(v => Files.deleteIfExists(root.resolve("meta").resolve(f"v$v%08d.json")))
-    (drop.size, removedFiles)
+    dropSegs.foreach(v => Files.deleteIfExists(root.resolve("meta").resolve(f"v$v%08d.json")))
+    (dropSegs.size, removedFiles)
   }
 
   /** Evolve the table schema in place (metadata-only commit; no data rewrite —
@@ -253,22 +364,50 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     * the in-process half of optimistic concurrency (the ingest thread and
     * the async compactor both commit through here; `build` must rebase its
     * changes onto whatever `latest` holds). Cross-process atomicity comes
-    * from the version-named rename in [[commitMeta]].
+    * from the hard-link create in [[LakeTable.writeSegment]].
     */
-  def commitAtomic(build: TableMeta => TableMeta): TableMeta = synchronized {
+  def commitAtomic(build: TableMeta => TableMeta,
+      forceSnapshot: Boolean = false): TableMeta = synchronized {
     val latest = refresh()
     val next = build(latest)
-    commitMeta(next)
-    next
+    commitMeta(latest, next, forceSnapshot)
   }
 
-  /** Atomically publish a new snapshot. Caller stages data files first. */
-  def commitMeta(next: TableMeta): Unit = synchronized {
-    val latest = LakeTable.readLatestMeta(root)
-    require(next.version == latest.version + 1,
-      s"concurrent commit: expected v${latest.version + 1}, table at v${latest.version}")
-    LakeTable.writeMeta(root, next)
-    metaCache = next
+  /** Atomically publish `next` as the successor of `prev` (one version
+    * bump). Caller stages data files first. Serializes ONLY the commit's
+    * delta unless the snapshot cadence (or `forceSnapshot`) re-anchors.
+    */
+  def commitMeta(prev: TableMeta, next: TableMeta,
+      forceSnapshot: Boolean = false): TableMeta = synchronized {
+    require(next.version == prev.version + 1,
+      s"commit must bump one version: v${prev.version} → v${next.version}")
+    val snapshot = forceSnapshot || next.version - prev.baseVersion >= SnapshotEvery
+    val prevPaths = prev.files.iterator.map(_.path).toSet
+    val nextPaths = next.files.iterator.map(_.path).toSet
+    val seg = MetaSegment(
+      version = next.version,
+      baseVersion = if (snapshot) next.version else prev.baseVersion,
+      schemaId = next.schemaId, schemas = next.schemas,
+      keyCols = next.keyCols, bucketCols = next.bucketCols,
+      numBuckets = next.numBuckets,
+      lastEpoch = next.lastEpoch, lastOffset = next.lastOffset,
+      lastPipelineId = next.lastPipelineId,
+      addedFiles = if (snapshot) Nil
+        else next.files.filterNot(f => prevPaths.contains(f.path)),
+      removedPaths = if (snapshot) Nil
+        else prev.files.iterator.map(_.path).filterNot(nextPaths.contains).toList,
+      lineageAdd = if (snapshot) Nil else next.lineage.drop(prev.lineage.size),
+      historyAdd = if (snapshot) Nil else next.history.drop(prev.history.size),
+      filesFull = if (snapshot) Some(next.files) else None,
+      lineageFull = if (snapshot) Some(next.lineage.takeRight(LineageCap)) else None,
+      historyFull = if (snapshot) Some(next.history.takeRight(HistoryCap)) else None)
+    LakeTable.writeSegment(root, seg)
+    val folded = next.copy(
+      baseVersion = seg.baseVersion,
+      lineage = next.lineage.takeRight(LineageCap),
+      history = next.history.takeRight(HistoryCap))
+    metaCache = folded
+    folded
   }
 
   def dataDir: Path = root.resolve("data")
@@ -277,23 +416,34 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
 object LakeTable {
   implicit val fmts: Formats = DefaultFormats
 
+  /** Full-snapshot segment cadence: a delta chain is re-anchored after this
+    * many commits, bounding both fold depth and vacuum's retention floor.
+    */
+  val SnapshotEvery = 16
+
+  /** Caps applied at FOLD time (commits serialize only their own rows). */
+  val LineageCap = 100000
+  val HistoryCap = 10000
+
   def create(spark: SparkSession, dir: String, schema: StructType,
       keyCols: Seq[String], bucketCols: Seq[String], numBuckets: Int,
       schemaId: Int = 0): LakeTable = {
     val root = Paths.get(dir)
     Files.createDirectories(root.resolve("meta"))
     Files.createDirectories(root.resolve("data"))
-    val meta = TableMeta(
-      version = 1, schemaId = schemaId,
+    // MinValue so the bootstrap epoch (-1) and stream epochs (0..) both
+    // pass the fence on a fresh table.
+    val seg = MetaSegment(
+      version = 1, baseVersion = 1, schemaId = schemaId,
       schemas = Map(schemaId.toString -> schema.json),
       keyCols = keyCols.toList, bucketCols = bucketCols.toList,
       numBuckets = numBuckets,
-      // MinValue so the bootstrap epoch (-1) and stream epochs (0..) both
-      // pass the fence on a fresh table.
-      lastEpoch = Long.MinValue, lastOffset = -1L,
-      files = Nil, lineage = Nil,
-      history = List(CommitInfo(1, Long.MinValue, -1L, System.currentTimeMillis(), "create")))
-    writeMeta(root, meta)
+      lastEpoch = Long.MinValue, lastOffset = -1L, lastPipelineId = "",
+      addedFiles = Nil, removedPaths = Nil, lineageAdd = Nil, historyAdd = Nil,
+      filesFull = Some(Nil), lineageFull = Some(Nil),
+      historyFull = Some(List(CommitInfo(1, Long.MinValue, -1L,
+        System.currentTimeMillis(), "create"))))
+    writeSegment(root, seg)
     new LakeTable(root, spark)
   }
 
@@ -318,10 +468,55 @@ object LakeTable {
     finally s.close()
   }
 
-  private[lake] def readMetaVersion(root: Path, v: Int): TableMeta = {
+  private[lake] def readSegment(root: Path, v: Int): MetaSegment = {
     val json = new String(Files.readAllBytes(
       root.resolve("meta").resolve(f"v$v%08d.json")), "UTF-8")
-    Serialization.read[TableMeta](json)
+    Serialization.read[MetaSegment](json)
+  }
+
+  /** Fold a snapshot segment into the TableMeta view it anchors. */
+  private def ofSnapshot(seg: MetaSegment): TableMeta = TableMeta(
+    version = seg.version, schemaId = seg.schemaId, schemas = seg.schemas,
+    keyCols = seg.keyCols, bucketCols = seg.bucketCols,
+    numBuckets = seg.numBuckets, lastEpoch = seg.lastEpoch,
+    lastOffset = seg.lastOffset,
+    files = seg.filesFull.getOrElse(Nil),
+    lineage = seg.lineageFull.getOrElse(Nil),
+    history = seg.historyFull.getOrElse(Nil),
+    baseVersion = seg.version, lastPipelineId = seg.lastPipelineId)
+
+  /** Fold delta segments (in version order) onto a base view. */
+  private[lake] def foldSegments(base: TableMeta, segs: Seq[MetaSegment]): TableMeta = {
+    var m = base
+    segs.foreach { seg =>
+      require(seg.version == m.version + 1,
+        s"broken segment chain at v${seg.version} (have v${m.version})")
+      m = if (seg.isSnapshot) ofSnapshot(seg)
+      else {
+        val removed = seg.removedPaths.toSet
+        m.copy(
+          version = seg.version, schemaId = seg.schemaId, schemas = seg.schemas,
+          lastEpoch = seg.lastEpoch, lastOffset = seg.lastOffset,
+          lastPipelineId = seg.lastPipelineId,
+          files = m.files.filterNot(f => removed.contains(f.path)) ++ seg.addedFiles,
+          lineage = (m.lineage ++ seg.lineageAdd).takeRight(LineageCap),
+          history = (m.history ++ seg.historyAdd).takeRight(HistoryCap),
+          baseVersion = seg.baseVersion)
+      }
+    }
+    if (segs.exists(!_.isSnapshot)) m.copy(files = m.files.sortBy(f => (f.bucket, f.path)))
+    else m
+  }
+
+  /** Resolve the folded view of version `v` from its base snapshot + deltas. */
+  private[lake] def readMetaVersion(root: Path, v: Int): TableMeta = {
+    val seg = readSegment(root, v)
+    if (seg.isSnapshot) ofSnapshot(seg)
+    else {
+      val base = readSegment(root, seg.baseVersion)
+      require(base.isSnapshot, s"base v${seg.baseVersion} of v$v is not a snapshot")
+      foldSegments(ofSnapshot(base), (seg.baseVersion + 1 to v).map(readSegment(root, _)))
+    }
   }
 
   private[lake] def readLatestMeta(root: Path): TableMeta = {
@@ -330,17 +525,20 @@ object LakeTable {
     readMetaVersion(root, vs.last)
   }
 
-  private[lake] def writeMeta(root: Path, meta: TableMeta): Unit = {
+  /** Publish one segment atomically; exactly one concurrent committer of the
+    * same version can win (hard-link create fails on an existing target —
+    * unlike rename, which silently replaces).
+    */
+  private[lake] def writeSegment(root: Path, seg: MetaSegment): Unit = {
     val metaDir = root.resolve("meta")
-    val tmp = metaDir.resolve(f".v${meta.version}%08d.json.tmp")
-    val dest = metaDir.resolve(f"v${meta.version}%08d.json")
-    Files.write(tmp, Serialization.write(meta).getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    val tmp = metaDir.resolve(
+      f".v${seg.version}%08d-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val dest = metaDir.resolve(f"v${seg.version}%08d.json")
+    Files.write(tmp, Serialization.write(seg).getBytes("UTF-8"))
+    try Files.createLink(dest, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
-      throw new IllegalStateException(s"concurrent commit of v${meta.version}")
-    }
+      throw new IllegalStateException(s"concurrent commit of v${seg.version}")
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Compatible = every existing column survives with the same or a wider

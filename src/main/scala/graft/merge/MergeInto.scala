@@ -38,12 +38,12 @@ final case class MergeResult(epoch: Long, skipped: Boolean,
   *     partial-aggregated `max_by` LWW dedup (map-side combine collapses
   *     per-key duplicates before the exchange, so hot-conversation skew
   *     cannot overload a reducer) → write delta row-version files. Commit
-  *     cost is O(batch) regardless of table size (the Iceberg-v2 MOR shape).
-  *     Global batch metrics ride the same job via `observe()`; per-bucket
-  *     lineage (rows upserted/deleted, applied-offset watermark) comes from
-  *     parquet footers of the files just written — no second scan, no
-  *     second job. The read path resolves per-key LWW over base+delta;
-  *     [[compact]] folds deltas into base, amortizing read cost.
+  *     cost is O(batch) regardless of table size (the Iceberg-v2 MOR shape):
+  *     the metadata commit serializes only this commit's manifest segment,
+  *     and per-file (rows, maxPos) stats come from parquet footers read by a
+  *     distributed job (driver-side only below a small file count). The read
+  *     path resolves per-key LWW over base+delta; [[compact]] folds deltas
+  *     into base, amortizing read cost.
   *   - **copy-on-write (option)**: rewrites touched buckets, producing
   *     resolve-free base files — right for low-churn tables / bootstrap.
   *     The TABLE side never shuffles: touched buckets come from the small
@@ -51,6 +51,13 @@ final case class MergeResult(epoch: Long, skipped: Boolean,
   *     broadcast semi/anti hash joins of the batch KEY SET.
   *   - an optional salted two-phase dedup bounds pathological single-key
   *     floods (SURVEY.md §7.5).
+  *
+  * Exactly-once: the (epoch, offset) fence rides in the same atomic commit
+  * as the data. When a `pipelineId` is supplied, the fence is additionally
+  * keyed to it — a batch numbered from a DIFFERENT checkpoint (fresh or
+  * foreign) can never be silently fenced as a replay (that would drop
+  * never-applied events); it either starts past the fence (adopted) or
+  * fails fast unless `allowTakeover` is set.
   */
 object MergeInto {
   import Types._
@@ -68,6 +75,9 @@ object MergeInto {
 
   /** Broadcast the batch key set below this many deduped rows (COW path). */
   val BroadcastKeyLimit = 4000000L
+
+  /** Footer-stat collection moves off the driver above this many files. */
+  val DriverFooterLimit = 32
 
   /** Writer-wave fanout: enough (bucket, salt) partitions for ≥16 waves per
     * core so stragglers amortize; 1 when buckets already dominate cores.
@@ -104,11 +114,33 @@ object MergeInto {
       .agg(max_by(all2, ordCol).as("_w")).select(col("_w.*"))
   }
 
+  /** Fence/adoption decision shared by both merge modes. Returns true when
+    * the batch must be SKIPPED as a replay; throws on a cross-pipeline
+    * conflict (different checkpoint identity, epoch at-or-below the fence).
+    */
+  private def fenced(m0: TableMeta, epoch: Long, pipelineId: String,
+      allowTakeover: Boolean): Boolean = {
+    val samePipe = pipelineId.isEmpty || m0.lastPipelineId.isEmpty ||
+      m0.lastPipelineId == pipelineId
+    if (samePipe) epoch <= m0.lastEpoch
+    else if (epoch > m0.lastEpoch || allowTakeover) false // adopt the new pipeline
+    else throw new IllegalStateException(
+      s"batch $epoch arrived from pipeline '$pipelineId' but the table was last " +
+        s"written by '${m0.lastPipelineId}' at epoch ${m0.lastEpoch}: a fresh/foreign " +
+        "checkpoint restarts batch numbering, so fencing this batch as a replay " +
+        "would silently drop never-applied events. Resume with the original " +
+        "checkpoint, or pass allowTakeover=true / use set-offset to rebind.")
+  }
+
+  private def pidOr(latest: TableMeta, pipelineId: String): String =
+    if (pipelineId.nonEmpty) pipelineId else latest.lastPipelineId
+
   /** Merge one micro-batch (decoded merge-input layout: `_op,_pos,_event_ts`
     * [,`_schema_id`] + row columns) into `table`, committing `(epoch,
     * maxPos)` atomically with the snapshot. Replayed epochs
-    * (epoch <= table.lastEpoch) are fenced to no-ops — exactly-once table
-    * state even when Structured Streaming re-runs a batch after a crash.
+    * (epoch <= table.lastEpoch, same pipeline) are fenced to no-ops —
+    * exactly-once table state even when Structured Streaming re-runs a batch
+    * after a crash.
     *
     * `batchSchemaId`: the registry schema the batch rows are shaped as
     * (defaults to the table's current schema). If the batch carries
@@ -118,19 +150,21 @@ object MergeInto {
   def merge(table: LakeTable, batch: DataFrame, epoch: Long, salt: Int = 0,
       mode: String = "mor",
       registry: Map[Int, StructType] = Map.empty,
-      batchSchemaId: Int = -1): MergeResult = {
+      batchSchemaId: Int = -1,
+      pipelineId: String = "",
+      allowTakeover: Boolean = false): MergeResult = {
     val m0 = table.refresh()
-    if (epoch <= m0.lastEpoch)
+    if (fenced(m0, epoch, pipelineId, allowTakeover))
       return MergeResult(epoch, skipped = true, 0, 0, 0, 0)
-    if (mode == "mor") mergeMor(table, m0, batch, epoch, salt, registry, batchSchemaId)
-    else mergeCow(table, m0, batch, epoch, salt, registry)
+    if (mode == "mor") mergeMor(table, m0, batch, epoch, salt, registry, batchSchemaId, pipelineId)
+    else mergeCow(table, m0, batch, epoch, salt, registry, pipelineId)
   }
 
   // ------------------------------------------------------------------- MOR
 
   private def mergeMor(table: LakeTable, m0: TableMeta, batch: DataFrame,
       epoch: Long, salt: Int, registry: Map[Int, StructType],
-      batchSchemaIdIn: Int): MergeResult = {
+      batchSchemaIdIn: Int, pipelineId: String): MergeResult = {
     val keyCols = m0.keyCols
     val hasSid = batch.columns.contains("_schema_id")
     val batchSchemaId = if (batchSchemaIdIn >= 0) batchSchemaIdIn else m0.schemaId
@@ -173,6 +207,7 @@ object MergeInto {
             base.cast(f.dataType).as(f.name)
           }.toSeq
             :+ col("_pos").as(table.PosCol)
+            :+ col("_event_ts").as(table.TsCol)
             :+ isDel.as("del")
             :+ table.bucketExpr(m0.numBuckets, m0.bucketCols).as("bkt")): _*)
         // explicit partition count (AQE would coalesce small shuffles into
@@ -188,6 +223,7 @@ object MergeInto {
     if (nDedup == 0) { // empty batch: advance the fence only
       table.commitAtomic(latest => latest.copy(
         version = latest.version + 1, lastEpoch = epoch,
+        lastPipelineId = pidOr(latest, pipelineId),
         history = latest.history :+ CommitInfo(latest.version + 1, epoch,
           latest.lastOffset, System.currentTimeMillis(), "merge-empty")))
       return MergeResult(epoch, skipped = false, 0, 0, 0, 0)
@@ -227,8 +263,9 @@ object MergeInto {
         schemas = schemas,
         lastEpoch = epoch,
         lastOffset = math.max(latest.lastOffset, maxPos),
+        lastPipelineId = pidOr(latest, pipelineId),
         files = (latest.files ++ newFiles).sortBy(f => (f.bucket, f.path)),
-        lineage = (latest.lineage ++ lineage).takeRight(100000),
+        lineage = latest.lineage ++ lineage, // capped at fold, not here
         history = latest.history :+ CommitInfo(latest.version + 1, epoch, maxPos,
           System.currentTimeMillis(),
           s"merge-mor:buckets=${lineage.size}:rows=$nDedup", replayed = nReplays))
@@ -241,7 +278,8 @@ object MergeInto {
   // ------------------------------------------------------------------- COW
 
   private def mergeCow(table: LakeTable, m0: TableMeta, batch: DataFrame,
-      epoch: Long, salt: Int, registry: Map[Int, StructType]): MergeResult = {
+      epoch: Long, salt: Int, registry: Map[Int, StructType],
+      pipelineId: String): MergeResult = {
     val keyCols = m0.keyCols
     val hasSid = batch.columns.contains("_schema_id")
     val bucket = table.bucketExpr(m0.numBuckets, m0.bucketCols)
@@ -261,6 +299,7 @@ object MergeInto {
       if (stats.isEmpty) {
         table.commitAtomic(latest => latest.copy(
           version = latest.version + 1, lastEpoch = epoch,
+          lastPipelineId = pidOr(latest, pipelineId),
           history = latest.history :+ CommitInfo(latest.version + 1, epoch,
             latest.lastOffset, System.currentTimeMillis(), "merge-empty")))
         return MergeResult(epoch, skipped = false, 0, 0, 0, 0)
@@ -294,23 +333,25 @@ object MergeInto {
               else when(isDel, lit(null)).otherwise(col(f.name))
             base.cast(f.dataType).as(f.name)
           }.toSeq
-            :+ col("_pos").as(table.PosCol) :+ isDel.as("del")): _*)
+            :+ col("_pos").as(table.PosCol)
+            :+ col("_event_ts").as(table.TsCol)
+            :+ isDel.as("del")): _*)
       }
 
       val keysOnly = dedup.select(keyCols.map(col): _*)
       val keySet = if (nDedup <= BroadcastKeyLimit) broadcast(keysOnly) else keysOnly
-      val existing = table.snapshotForBuckets(touched) // rowCols + PosCol + DelCol
+      val existing = table.snapshotForBuckets(m, touched) // rowCols + Pos/Ts/DelCol
       val unmatched = existing.join(keySet, keyCols, "left_anti")
         .withColumnRenamed(table.DelCol, "del")
       // Matched existing rows (live or tombstone) re-enter LWW as events at
-      // their applied pos: a replayed (old-pos) batch event loses; a newer
-      // one wins; tombstones compete as deletes so a replayed old insert
-      // cannot resurrect a deleted key.
+      // their applied (pos, ts): a replayed (old-pos) batch event loses; a
+      // newer one wins; tombstones compete as deletes so a replayed old
+      // insert cannot resurrect a deleted key.
       val matchedAsEvents = existing.join(keySet, keyCols, "left_semi")
         .withColumn("_op",
           when(col(table.DelCol), lit(OpDelete)).otherwise(lit(OpInsert)))
-        .withColumn("_event_ts", lit(null).cast("timestamp"))
         .withColumnRenamed(table.PosCol, "_pos")
+        .withColumnRenamed(table.TsCol, "_event_ts")
         .select((Seq("_op", "_pos", "_event_ts") ++ rowCols).map(col): _*)
       val batchEvents = dedup.drop("_bucket", "_schema_id")
         .select((Seq("_op", "_pos", "_event_ts") ++
@@ -337,9 +378,10 @@ object MergeInto {
           version = latest.version + 1,
           lastEpoch = epoch,
           lastOffset = math.max(latest.lastOffset, maxPos),
+          lastPipelineId = pidOr(latest, pipelineId),
           files = (latest.files.filterNot(f => touched.contains(f.bucket)) ++ newFiles)
             .sortBy(f => (f.bucket, f.path)),
-          lineage = (latest.lineage ++ lineage).takeRight(100000),
+          lineage = latest.lineage ++ lineage,
           history = latest.history :+ CommitInfo(latest.version + 1, epoch, maxPos,
             System.currentTimeMillis(),
             s"merge-cow:buckets=${touched.size}:rows=$nDedup", replayed = nReplays))
@@ -370,7 +412,7 @@ object MergeInto {
     if (!m.files.exists(_.kind == "delta")) return
     val inputs = m.files.toSet
     val bucket = table.bucketExpr(m.numBuckets, m.bucketCols)
-    val resolved = table.snapshotWithMeta()
+    val resolved = table.snapshotWithMeta(m)
       .where(!col(table.DelCol) || col(table.PosCol) >= gcTombstonesBelowPos)
       .withColumnRenamed(table.DelCol, "del")
       .withColumn("bkt", bucket)
@@ -430,10 +472,14 @@ object MergeInto {
   /** Enumerate staged files under `commitRel` with row counts and the
     * applied-pos max — straight from parquet footers, no data re-scan.
     * Layout: `<commitRel>/bkt=<b>/del=<bool>/part-*.parquet`.
+    *
+    * The directory LISTING is driver-side (pure namespace I/O); footer
+    * OPENS are a distributed Spark job above [[DriverFooterLimit]] files —
+    * per-commit driver cost stays O(listing), not O(files × footer-read),
+    * the stat-collection shape that survives 1000-executor commits.
     */
   private def listCommitFiles(table: LakeTable, commitRel: String,
       schemaId: Int, kind: String): List[FileEntry] = {
-    val conf = table.spark.sessionState.newHadoopConf()
     val commitDir = table.root.resolve(commitRel)
     if (!Files.isDirectory(commitDir)) return Nil
     val paths = Files.list(commitDir).iterator().asScala
@@ -446,29 +492,46 @@ object MergeInto {
             val del = ddir.getFileName.toString.stripPrefix("del=").toBoolean
             Files.list(ddir).iterator().asScala
               .filter(_.getFileName.toString.endsWith(".parquet"))
-              .map(f => (b, del, f))
+              .map(f => (b, del, f.toUri.toString, table.root.relativize(f).toString))
           }
       }.toList
-    // footer reads are independent metadata I/O — do them in parallel, a
-    // sequential loop costs ~1s/commit on the driver at 100+ files
-    paths.par.map { case (b, del, f) =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new HPath(f.toUri), conf))
-      val (rows, maxPos) = try {
-        val blocks = reader.getFooter.getBlocks.asScala
-        val r = blocks.map(_.getRowCount).sum
-        val mp = blocks.flatMap(_.getColumns.asScala
-          .filter(_.getPath.toDotString == table.PosCol)
-          .map(_.getStatistics)
-          .filter(s => s != null && s.hasNonNullValue)
-          .map(_.genericGetMax.asInstanceOf[Long])) match {
-          case s if s.nonEmpty => s.max
-          case _ => -1L
-        }
-        (r, mp)
-      } finally reader.close()
-      FileEntry(b, table.root.relativize(f).toString, rows, schemaId,
-        kind, del, maxPos)
-    }.toList
+    val posCol = table.PosCol
+    if (paths.size <= DriverFooterLimit) {
+      // small commit: footer reads in parallel on the driver beat a job round-trip
+      val conf = table.spark.sessionState.newHadoopConf()
+      paths.par.map { case (b, del, uri, rel) =>
+        val (rows, maxPos) = readFooterStats(uri, posCol, conf)
+        FileEntry(b, rel, rows, schemaId, kind, del, maxPos)
+      }.toList
+    } else {
+      val sc = table.spark.sparkContext
+      val slices = math.min(paths.size, math.max(1, sc.defaultParallelism))
+      sc.parallelize(paths, slices).map { case (b, del, uri, rel) =>
+        // executor-side: fresh Hadoop conf (table roots are plain URIs)
+        val (rows, maxPos) = readFooterStats(uri, posCol,
+          new org.apache.hadoop.conf.Configuration())
+        FileEntry(b, rel, rows, schemaId, kind, del, maxPos)
+      }.collect().toList
+    }
+  }
+
+  /** (rowCount, max(posCol)) from one parquet footer. */
+  private def readFooterStats(uri: String, posCol: String,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(java.net.URI.create(uri)), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val maxPos = blocks.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == posCol)
+        .map(_.getStatistics)
+        .filter(s => s != null && s.hasNonNullValue)
+        .map(_.genericGetMax.asInstanceOf[Long])) match {
+        case s if s.nonEmpty => s.max
+        case _ => -1L
+      }
+      (rows, maxPos)
+    } finally reader.close()
   }
 }

@@ -26,7 +26,14 @@ final case class Rule(
     columnMappings: Map[String, String] = Map.empty, // old → new name
     caseTransform: Option[String] = None,            // lower | upper | camel
     defaultColumns: Seq[(String, String)] = Nil,     // constant columns k=v
-    dateFormats: Map[String, String] = Map.empty     // col → Java date pattern
+    dateFormats: Map[String, String] = Map.empty,    // col → Java date pattern
+    // Runtime (no-recompile) transforms — the engine analog of the
+    // reference's in-config Lua (service/luaengine/actuator.go:46-101,
+    // compiled per rule at global/rule.go:621-694): Spark SQL expression
+    // STRINGS parsed at pipeline build, so "edit config, restart" works
+    // without compiling Scala. Catalyst-optimized like any native column.
+    filterExpr: Option[String] = None,               // row predicate, e.g. "turn_idx >= 0"
+    computedColumns: Seq[(String, String)] = Nil     // name → SQL expression
 )
 
 /** Sink key derivation — reference: service/endpoint/redis.go:271-299 plus
@@ -46,26 +53,34 @@ object KeySpec {
 
 object RulePipeline {
 
-  /** Apply a rule to a DataFrame: include/exclude → rename → defaults →
-    * date formats → name case. All pure projections; Catalyst prunes the
-    * parquet scan to exactly the surviving source columns.
+  /** Apply a rule to a DataFrame: filter → include/exclude → rename →
+    * defaults → computed expressions → date formats → name case. All pure
+    * projections/predicates; Catalyst prunes the parquet scan to exactly the
+    * surviving source columns and pushes the filter down.
+    *
+    * `preserve` columns (e.g. the merge-input meta columns `_op`/`_pos`/
+    * `_event_ts`) pass through untouched, in front — so the same rule drives
+    * both standalone projections and in-pipeline per-route transforms.
     */
-  def apply(df: DataFrame, rule: Rule): DataFrame = {
+  def apply(df: DataFrame, rule: Rule, preserve: Seq[String] = Nil): DataFrame = {
     var out = df
+    rule.filterExpr.foreach(f => out = out.where(expr(f)))
     if (rule.includeColumns.nonEmpty)
-      out = out.select(rule.includeColumns.map(col): _*)
+      out = out.select((preserve ++ rule.includeColumns).map(col): _*)
     if (rule.excludeColumns.nonEmpty)
-      out = out.drop(rule.excludeColumns: _*)
+      out = out.drop(rule.excludeColumns.filterNot(preserve.contains): _*)
     if (rule.columnMappings.nonEmpty)
-      out = out.withColumnsRenamed(rule.columnMappings)
+      out = out.withColumnsRenamed(rule.columnMappings -- preserve)
     rule.defaultColumns.foreach { case (k, v) => out = out.withColumn(k, lit(v)) }
+    rule.computedColumns.foreach { case (k, e) => out = out.withColumn(k, expr(e)) }
     rule.dateFormats.foreach { case (c, pattern) =>
       // zero/invalid dates are already NULL at decode (endpoint.go:148-163);
       // date_format takes Java patterns natively — no Go-layout conversion.
       out = out.withColumn(c, date_format(col(c), pattern))
     }
     rule.caseTransform.foreach { t =>
-      val renames = out.columns.map(c => c -> wrapName(c, t)).toMap
+      val renames = out.columns.filterNot(preserve.contains)
+        .map(c => c -> wrapName(c, t)).toMap
       out = out.withColumnsRenamed(renames)
     }
     out

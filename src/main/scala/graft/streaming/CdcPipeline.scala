@@ -38,7 +38,42 @@ object CdcPipeline {
       // fold deltas into base when deltaRows ≥ ratio × baseRows (and ≥ minRows)
       autoCompactRatio: Double = 4.0,
       autoCompactMinRows: Long = 200000L,
-      registry: Map[Int, StructType] = Types.transcriptSchemas)
+      registry: Map[Int, StructType] = Types.transcriptSchemas,
+      // explicitly rebind a table last written by a different checkpoint
+      // (the set-offset-style operator override; see MergeInto fence docs)
+      allowPipelineTakeover: Boolean = false,
+      // B6 sink-failure recovery (reference: transfer_service.go:328-354
+      // disables the endpoint and ping-reconnects every 1 s): transient
+      // failures retry in place with backoff; a batch that exhausts its
+      // retries kills the query, which [[runSupervised]] restarts from the
+      // checkpoint — the fence no-ops anything already committed.
+      maxBatchRetries: Int = 3,
+      retryBackoffMs: Long = 100L,
+      maxRestarts: Int = 3,
+      restartBackoffMs: Long = 500L,
+      // test hook: invoked with the batchId INSIDE the retried region, so
+      // specs can inject transient sink failures deterministically
+      failureInjector: Option[Long => Unit] = None)
+
+  /** Checkpoint identity: a UUID persisted INSIDE the checkpoint dir, bound
+    * to every commit's fence. Structured Streaming batchIds restart at 0 for
+    * a fresh checkpoint — without this binding, re-pointing `run` at an
+    * existing table with a new checkpoint would silently fence batches of
+    * never-applied events as "replays" (the Delta txn-appId pattern).
+    */
+  def resolvePipelineId(checkpointDir: String): String = {
+    if (checkpointDir == null || checkpointDir.isEmpty) return ""
+    val dir = java.nio.file.Paths.get(checkpointDir)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("graft-pipeline-id")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+    else {
+      val id = java.util.UUID.randomUUID().toString
+      java.nio.file.Files.write(f, id.getBytes("UTF-8"))
+      id
+    }
+  }
 
   /** Apply one micro-batch of wire-form events. Exposed for tests and the
     * batch replayer.
@@ -56,11 +91,7 @@ object CdcPipeline {
   }
 
   def applyBatch(table: LakeTable, wire: DataFrame, epoch: Long,
-      cfg: Config): MergeResult = timed(s"applyBatch($epoch)") {
-    val m = table.refresh()
-    if (epoch <= m.lastEpoch) // fence before doing any work on replay
-      return MergeResult(epoch, skipped = true, 0, 0, 0, 0)
-
+      cfg: Config, pipelineId: String = ""): MergeResult = timed(s"applyBatch($epoch)") {
     // Decode against the newest registry schema (a superset — older events
     // parse with nulls/wide types); the per-event _schema_id watermark rides
     // into the merge stats and drives in-flight table evolution there
@@ -69,7 +100,8 @@ object CdcPipeline {
     val decoded = ChangelogCodec.decode(wire, cfg.registry(newestSid))
     val res = timed("merge")(
       MergeInto.merge(table, decoded, epoch, cfg.saltedDedup, cfg.mergeMode,
-        cfg.registry, batchSchemaId = newestSid))
+        cfg.registry, batchSchemaId = newestSid, pipelineId = pipelineId,
+        allowTakeover = cfg.allowPipelineTakeover))
 
     // MOR maintenance: async amortized compaction keeps read-side resolve
     // bounded without blocking ingest (rebase-safe vs concurrent merges).
@@ -84,15 +116,66 @@ object CdcPipeline {
       .schema(Types.changeEventWireSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.changelogDir)
+    val pipelineId = resolvePipelineId(cfg.checkpointDir)
     val writer = wire.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(table, df, batchId, cfg); ()
+        withBatchRetries(cfg, batchId)(applyBatch(table, df, batchId, cfg, pipelineId)); ()
       }
     val triggered =
       if (availableNow) writer.trigger(Trigger.AvailableNow())
       else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs))
     triggered.start()
+  }
+
+  /** In-place retry with backoff for transient sink/merge failures. Safe to
+    * retry blindly: a failed merge has not committed, and a merge that DID
+    * commit before the failure surfaced is fenced to a no-op on retry.
+    */
+  private def withBatchRetries[T](cfg: Config, epoch: Long)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try {
+        cfg.failureInjector.foreach(_(epoch))
+        return f
+      } catch {
+        case e: Throwable if attempt < cfg.maxBatchRetries =>
+          attempt += 1
+          System.err.println(s"[graft] batch $epoch failed " +
+            s"(attempt $attempt/${cfg.maxBatchRetries}), retrying in " +
+            s"${cfg.retryBackoffMs} ms: $e")
+          Thread.sleep(cfg.retryBackoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Supervised run: restart the streaming query from its checkpoint after a
+    * terminal failure, up to `maxRestarts` times — the reference's
+    * endpoint-disable + 1 s ping-reconnect loop
+    * (service/transfer_service.go:328-354) as query supervision. Combined
+    * with [[withBatchRetries]], transient failures recover in place and
+    * poisoned-but-recoverable runs recover across restarts; a persistent
+    * failure still surfaces after the budget.
+    */
+  def runSupervised(spark: SparkSession, table: LakeTable, cfg: Config,
+      availableNow: Boolean = true): Unit = {
+    var restarts = 0
+    while (true) {
+      val q = start(spark, table, cfg, availableNow)
+      try {
+        q.awaitTermination()
+        return
+      } catch {
+        case e: Throwable if restarts < cfg.maxRestarts =>
+          restarts += 1
+          System.err.println(s"[graft] streaming query died " +
+            s"(restart $restarts/${cfg.maxRestarts} in ${cfg.restartBackoffMs} ms): " +
+            s"${e.getMessage}")
+          try q.stop() catch { case _: Throwable => }
+          Thread.sleep(cfg.restartBackoffMs)
+      }
+    }
   }
 
   /** Drain everything currently in the changelog and stop (the test/bench

@@ -78,6 +78,34 @@ class EndToEndSpec extends SparkSpec {
     assertMatchesOracle(log, table)
   }
 
+  test("B6 auto-recovery: transient sink failures retry in place; a dead query " +
+    "restarts from checkpoint; final state matches the oracle") {
+    val tmp = tmpDir("graft-b6")
+    val log = s"$tmp/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 8000, nConversations = 150, chunkSize = 1000,
+        dupEvery = 0), log)
+    val table = LakeTable.create(spark, s"$tmp/table", transcriptSchemaV0,
+      keys, Seq("conv_id"), numBuckets = 4)
+    // injector: batch 1 fails twice (in-place retry recovers); batch 3 fails
+    // 5 consecutive times — beyond maxBatchRetries=3 — killing the query,
+    // which the supervisor restarts from the checkpoint
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+    val cfg = CdcPipeline.Config(log, s"$tmp/cp", maxFilesPerTrigger = 2,
+      maxBatchRetries = 3, retryBackoffMs = 10L, maxRestarts = 2,
+      restartBackoffMs = 50L,
+      failureInjector = Some { epoch =>
+        val n = counts.merge(epoch, 1, Integer.sum)
+        if (epoch == 1 && n <= 2) throw new RuntimeException(s"transient sink error #$n")
+        if (epoch == 3 && n <= 5) throw new RuntimeException(s"poison sink error #$n")
+      })
+    CdcPipeline.runSupervised(spark, table, cfg)
+    assert(counts.get(1L) >= 3, "batch 1 should have retried in place")
+    assert(counts.get(3L) >= 6, "batch 3 should have crossed a query restart")
+    assert(table.refresh().lastOffset == 7999L)
+    assertMatchesOracle(log, table)
+  }
+
   test("replayed epoch is fenced to a no-op (exactly-once)") {
     val tmp = tmpDir("graft-fence")
     val log = s"$tmp/log"

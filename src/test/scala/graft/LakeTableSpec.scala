@@ -75,6 +75,110 @@ class LakeTableSpec extends SparkSpec {
     assert(state(t.snapshot()) == Map("a" -> "v5", "b" -> "v6"))
   }
 
+  test("cross-process commit atomicity: exactly one committer of a version wins") {
+    val dir = tmpDir("lt-atom").resolve("t").toString
+    val t1 = LakeTable.create(spark, dir, schema, Seq("k"), Seq("k"), 4)
+    val t2 = LakeTable.load(spark, dir) // a second "process": separate lock + cache
+    val stale = t2.meta // both believe v1 is latest
+    t1.commitAtomic(m => m.copy(version = m.version + 1, lastEpoch = 0L))
+    // t2 races the same version number; the hard-link create must fail it
+    // (POSIX rename would have silently clobbered t1's commit — round-1 bug)
+    intercept[IllegalStateException] {
+      t2.commitMeta(stale, stale.copy(version = stale.version + 1, lastEpoch = 99L))
+    }
+    assert(t2.refresh().lastEpoch == 0L, "winner's commit must survive")
+  }
+
+  test("snapshotAt is pure: concurrent time travel never disturbs live readers") {
+    val t = LakeTable.create(spark, tmpDir("lt-pure").resolve("t").toString,
+      schema, Seq("k"), Seq("k"), 2)
+    MergeInto.merge(t, batch((OpInsert, 1L, "a", "a1")), 0)
+    val v1 = t.meta.version
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val n = t.snapshotAt(v1).count() // historic view, must always be 1 row
+          if (n != 1) bad.set(s"snapshotAt($v1) saw $n rows")
+        }
+      } catch { case e: Throwable => bad.set(s"reader thread died: $e") }
+    })
+    reader.start()
+    (1 to 5).foreach { e =>
+      MergeInto.merge(t, batch((OpInsert, e + 1L, s"k$e", s"v$e")), e.toLong)
+    }
+    MergeInto.compact(t) // uses the live snapshot concurrently with time travel
+    stop.set(true); reader.join()
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(state(t.snapshot()).size == 6)
+  }
+
+  test("manifest segments: delta commits are O(batch); snapshot re-anchors the chain") {
+    val t = LakeTable.create(spark, tmpDir("lt-seg").resolve("t").toString,
+      schema, Seq("k"), Seq("k"), 2)
+    val n = LakeTable.SnapshotEvery + 3
+    (0 until n).foreach(e =>
+      MergeInto.merge(t, batch((OpInsert, e.toLong, s"k$e", s"v$e")), e.toLong))
+    val m = t.refresh()
+    assert(m.version == n + 1)
+    // a snapshot segment re-anchored the chain within the cadence
+    assert(m.baseVersion > 1 && m.version - m.baseVersion < LakeTable.SnapshotEvery)
+    // delta segments never serialize the full file list
+    val segJson = new String(java.nio.file.Files.readAllBytes(
+      t.root.resolve("meta").resolve(f"v${m.version}%08d.json")), "UTF-8")
+    assert(!segJson.contains("filesFull"), "tip delta segment must not embed the manifest")
+    // every historic version folds back exactly (across the anchor)
+    assert(state(t.snapshotAt(2)) == Map("k0" -> "v0"))
+    val mid = LakeTable.SnapshotEvery
+    assert(state(t.snapshotAt(mid + 1)) ==
+      (0 until mid).map(i => s"k$i" -> s"v$i").toMap)
+    assert(state(t.snapshot()) == (0 until n).map(i => s"k$i" -> s"v$i").toMap)
+  }
+
+  test("vacuum never touches staged-but-uncommitted files (in-flight commits)") {
+    val t = LakeTable.create(spark, tmpDir("lt-vac2").resolve("t").toString,
+      schema, Seq("k"), Seq("k"), 2)
+    (0 until 3).foreach(e =>
+      MergeInto.merge(t, batch((OpInsert, e.toLong, s"k$e", s"v$e")), e.toLong))
+    // a concurrent merge/compaction staging its output: referenced by nothing
+    val staged = t.dataDir.resolve("inflight-commit").resolve("bkt=0").resolve("del=false")
+    java.nio.file.Files.createDirectories(staged)
+    val f = staged.resolve("part-0.parquet")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    t.vacuum(keepVersions = 1)
+    assert(java.nio.file.Files.exists(f), "vacuum deleted an in-flight staged file")
+    // explicit orphan reaping (crash leftovers) is opt-in via a grace window
+    Thread.sleep(20)
+    t.vacuum(keepVersions = 1, orphanGraceMs = 1L)
+    assert(!java.nio.file.Files.exists(f))
+  }
+
+  test("pipeline-identity fence: foreign checkpoints cannot be silently fenced") {
+    val t = LakeTable.create(spark, tmpDir("lt-pid").resolve("t").toString,
+      schema, Seq("k"), Seq("k"), 2)
+    MergeInto.merge(t, batch((OpInsert, 1L, "a", "a1")), 0, pipelineId = "pipeA")
+    MergeInto.merge(t, batch((OpInsert, 2L, "b", "b1")), 1, pipelineId = "pipeA")
+    // same pipeline replaying an applied epoch → silent no-op (exactly-once)
+    assert(MergeInto.merge(t, batch((OpInsert, 9L, "x", "x1")), 1,
+      pipelineId = "pipeA").skipped)
+    // a DIFFERENT pipeline restarting at batch 0 against the same table:
+    // its events were never applied — fencing them would be data loss
+    intercept[IllegalStateException] {
+      MergeInto.merge(t, batch((OpInsert, 3L, "c", "c1")), 0, pipelineId = "pipeB")
+    }
+    // explicit operator takeover rebinds the table to the new pipeline
+    val r = MergeInto.merge(t, batch((OpInsert, 3L, "c", "c1")), 0,
+      pipelineId = "pipeB", allowTakeover = true)
+    assert(!r.skipped)
+    assert(state(t.snapshot()) == Map("a" -> "a1", "b" -> "b1", "c" -> "c1"))
+    assert(t.meta.lastPipelineId == "pipeB")
+    // a foreign pipeline starting PAST the fence adopts silently (the normal
+    // bootstrap-then-stream handoff)
+    val r2 = MergeInto.merge(t, batch((OpInsert, 4L, "d", "d1")), 5, pipelineId = "pipeC")
+    assert(!r2.skipped && t.meta.lastPipelineId == "pipeC")
+  }
+
   test("wildcard table expansion (S6): regex match, lone-* rejected") {
     import graft.sources.Tables
     val names = Tables.expandDir("/root/testdata/sf0.001", "^(nation|region)$")
