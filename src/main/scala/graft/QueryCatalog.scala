@@ -70,7 +70,8 @@ object QueryCatalog {
       val step = maxPos / nBatches + 1
       (0L until nBatches).foreach { e =>
         MergeInto.merge(table,
-          input.where(col("_pos") >= e * step && col("_pos") < (e + 1) * step), e)
+          input.where(col("_pos") >= e * step && col("_pos") < (e + 1) * step), e,
+          rowsHint = step) // positions are dense: batch size ≈ step
       }
       table.snapshot().orderBy("user_id", "slot")
     } finally input.unpersist()
@@ -196,6 +197,35 @@ object QueryCatalog {
       |  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS value_str,
       |  strftime(ts, '%Y-%m-%d') AS day,
       |  CAST(props->>'$.k' AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** P5 completion: ENUM index→label / SET bitmask→joined labels / BIT→0/1
+    * decode (reference: service/endpoint/endpoint.go:96-130). The raw
+    * columns are derived deterministically from `events` (the sandbox's
+    * "binlog ints"), decoded with the schema's label dictionaries.
+    */
+  def cdcEnumSetBit(s: SparkSession, dir: String): DataFrame = {
+    import graft.changelog.MySqlDecode._
+    val enumLabels = Seq("red", "green", "blue", "black")
+    val setLabels = Seq("alpha", "beta", "gamma")
+    read(s, dir, "events").select(
+      col("event_id"),
+      decodeEnum(col("event_id") % 6, enumLabels).as("color"),
+      decodeSet(col("event_id") % 8, setLabels).as("tags"),
+      decodeBit(col("event_id") % 2).as("flag"))
+      .orderBy("event_id")
+  }
+
+  val cdcEnumSetBitSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 6 BETWEEN 1 AND 4
+      |       THEN ['red','green','blue','black'][CAST(event_id % 6 AS INT)]
+      |       ELSE '' END AS color,
+      |  concat_ws(',',
+      |    CASE WHEN (event_id % 8) & 1 > 0 THEN 'alpha' END,
+      |    CASE WHEN (event_id % 8) & 2 > 0 THEN 'beta' END,
+      |    CASE WHEN (event_id % 8) & 4 > 0 THEN 'gamma' END) AS tags,
+      |  event_id % 2 AS flag
       |FROM events ORDER BY event_id""".stripMargin
 
   /** K11-K13 changefeed-out message key/action/timestamp (oracle-checkable

@@ -58,7 +58,9 @@ object SparkEntry {
     "q31_mm_features_full" -> (mmFeaturesFull(_, _)),
     "q32_mm_frames" -> (mmFrameSample(_, _)),
     // S6 wildcard table expansion
-    "q33_wildcard_tables" -> (wildcardTables(_, _))
+    "q33_wildcard_tables" -> (wildcardTables(_, _)),
+    // P5 completion: ENUM/SET/BIT decode
+    "q34_enum_set_bit" -> (cdcEnumSetBit(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -87,6 +89,7 @@ object SparkEntry {
     "q26_emb_neardup" -> embNearDupPairsSql,
     "q27_emb_ann_topk" -> embAnnTopKSql,
     "q30_mm_features" -> mmFeaturesSql,
-    "q33_wildcard_tables" -> wildcardTablesSql
+    "q33_wildcard_tables" -> wildcardTablesSql,
+    "q34_enum_set_bit" -> cdcEnumSetBitSql
   )
 }

@@ -91,6 +91,29 @@ object MergeInto {
   private def writeSalt(table: LakeTable, numBuckets: Int) =
     pmod(xxhash64(col(table.PosCol)), lit(writeFanout(table, numBuckets)))
 
+  /** Rows a single write task should own before fanning out further. */
+  val TargetRowsPerWriteTask = 100000L
+
+  /** Write-exchange width. Full bucket×fanout width amortizes stragglers on
+    * big batches; a `rowsHint` (when the caller knows the batch size) scales
+    * the width DOWN for small batches — a 10k-row trigger through 144
+    * partitions writes ~250 near-empty parquet files per commit, which costs
+    * more in writer open/close + footer stats + manifest growth + read-side
+    * task scheduling than the write itself.
+    */
+  private def writePartitions(table: LakeTable, numBuckets: Int, rowsHint: Long): Int = {
+    val full = numBuckets * writeFanout(table, numBuckets)
+    if (rowsHint < 0) full
+    else {
+      // floor: one writer per bucket (capped by cores) — a single dynamic-
+      // partition writer task serializes all per-dir writer opens (~1 s for
+      // 32 dirs); rows-based width above that, full fanout as the ceiling
+      val floor = math.min(numBuckets, table.spark.sparkContext.defaultParallelism)
+      val rowsBased = (rowsHint + TargetRowsPerWriteTask - 1) / TargetRowsPerWriteTask
+      math.max(math.min(floor.toLong, full.toLong), math.min(full.toLong, rowsBased)).toInt
+    }
+  }
+
   /** LWW ordering: (pos, event ts with null→epoch-0, op rank). */
   private def ordCol: Column = struct(
     col("_pos"),
@@ -152,11 +175,13 @@ object MergeInto {
       registry: Map[Int, StructType] = Map.empty,
       batchSchemaId: Int = -1,
       pipelineId: String = "",
-      allowTakeover: Boolean = false): MergeResult = {
+      allowTakeover: Boolean = false,
+      rowsHint: Long = -1L): MergeResult = {
     val m0 = table.refresh()
     if (fenced(m0, epoch, pipelineId, allowTakeover))
       return MergeResult(epoch, skipped = true, 0, 0, 0, 0)
-    if (mode == "mor") mergeMor(table, m0, batch, epoch, salt, registry, batchSchemaId, pipelineId)
+    if (mode == "mor")
+      mergeMor(table, m0, batch, epoch, salt, registry, batchSchemaId, pipelineId, rowsHint)
     else mergeCow(table, m0, batch, epoch, salt, registry, pipelineId)
   }
 
@@ -164,7 +189,7 @@ object MergeInto {
 
   private def mergeMor(table: LakeTable, m0: TableMeta, batch: DataFrame,
       epoch: Long, salt: Int, registry: Map[Int, StructType],
-      batchSchemaIdIn: Int, pipelineId: String): MergeResult = {
+      batchSchemaIdIn: Int, pipelineId: String, rowsHint: Long): MergeResult = {
     val keyCols = m0.keyCols
     val hasSid = batch.columns.contains("_schema_id")
     val batchSchemaId = if (batchSchemaIdIn >= 0) batchSchemaIdIn else m0.schemaId
@@ -213,8 +238,9 @@ object MergeInto {
         // explicit partition count (AQE would coalesce small shuffles into
         // one sort-based dynamic-partition writer — serial and slower),
         // fanned out with a salt so writer waves stay fine-grained relative
-        // to the core count (wave quantization otherwise idles the tail)
-        .repartition(m0.numBuckets * writeFanout(table, m0.numBuckets),
+        // to the core count (wave quantization otherwise idles the tail);
+        // a rowsHint shrinks the width for small batches (file-count hygiene)
+        .repartition(writePartitions(table, m0.numBuckets, rowsHint),
           col("bkt"), writeSalt(table, m0.numBuckets))
         .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString)
     }
@@ -418,8 +444,10 @@ object MergeInto {
       .withColumn("bkt", bucket)
     val commitId = UUID.randomUUID().toString.take(12)
     val commitRel = s"data/$commitId"
+    // total live rows are known from the manifest — size the write exchange
+    val totalRows = m.files.map(_.rows).sum
     timed("compact-write")(resolved
-      .repartition(m.numBuckets * writeFanout(table, m.numBuckets),
+      .repartition(writePartitions(table, m.numBuckets, totalRows),
         col("bkt"), writeSalt(table, m.numBuckets))
       .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString))
     val newFiles = listCommitFiles(table, commitRel, m.schemaId, "base")
