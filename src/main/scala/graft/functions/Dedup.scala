@@ -32,12 +32,17 @@ object Dedup {
       .otherwise(array(array_join(toks, " ")))
   }
 
-  /** MinHash signature: k independent permutations approximated by seeded
-    * xxhash64; element j = min over shingles of hash(shingle, j).
+  /** MinHash signature: k independent permutations. Each shingle STRING is
+    * hashed exactly once (xxhash64 over bytes); the k permutations derive
+    * from that 64-bit value via fixed-width re-hashes — the standard
+    * one-hash/k-permutations trick, ~k× less string hashing than hashing
+    * every shingle k times.
     */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
+    val hs = transform(shingleCol, x => xxhash64(x))
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, x => xxhash64(x, j))))
+      j => array_min(transform(hs, h => xxhash64(h, j))))
+  }
 
   /** LSH band hashes of a minhash signature: `bands` hashes, each over
     * `rowsPerBand` consecutive signature slots. Two docs sharing ANY band
@@ -94,10 +99,14 @@ object Dedup {
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       shingleN: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val rows = k / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val toks = tokens(normalized(col(textCol)))
+    // hashed-shingle SETS for the exact-Jaccard verify (same cardinalities
+    // as the string shingles — set semantics preserved by the kernel)
+    val sh = df.select(col(idCol).as("id"), MinHash64.shingleHashes(toks, shingleN).as("sh"))
     val banded = capBuckets(
-      sh.select(col("id"),
-        posexplode(lshBandHashes(minhashSignature(col("sh"), k), bands, rows))
+      df.select(col(idCol).as("id"),
+        posexplode(lshBandHashes(
+          MinHash64.signature(toks, shingleN, k), bands, rows))
           .as(Seq("band", "bh"))),
       Seq("band", "bh"), maxBucket)
     val l = banded.select(col("band"), col("bh"), col("id").as("idA"))
@@ -119,7 +128,8 @@ object Dedup {
       k: Int = 32, bands: Int = 8, shingleN: Int = 3, minSize: Long = 2): DataFrame = {
     val rows = k / bands
     df.select(col(idCol).as("id"),
-      posexplode(lshBandHashes(minhashSignature(shingles(col(textCol), shingleN), k),
+      posexplode(lshBandHashes(
+        MinHash64.signature(tokens(normalized(col(textCol))), shingleN, k),
         bands, rows)).as(Seq("band", "bh")))
       .groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .where(col("n") >= minSize)
@@ -169,7 +179,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    val p = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // hashed shingle sets: identical Jaccard values (set cardinalities are
+    // preserved; 64-bit collisions negligible), one-pass kernel per doc
+    val p = df.select(col(idCol).as("id"),
+      MinHash64.shingleHashes(tokens(normalized(col(textCol))), shingleN).as("sh"))
     val l = p.select(col("id").as("idA"), col("sh").as("shA"))
     val r = p.select(col("id").as("idB"), col("sh").as("shB"))
     l.crossJoin(r).where(col("idA") < col("idB"))

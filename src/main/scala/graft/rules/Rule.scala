@@ -110,21 +110,73 @@ object RulePipeline {
     case other => throw new IllegalArgumentException(s"unknown value encoder: $other")
   }
 
-  /** P8: compile a `{{.COL}}` template into a concat Column — the Go
-    * text/template subset the reference actually uses for keys and values
-    * (reference: global/rule.go:219-226, service/endpoint/redis.go:276-284).
+  /** P8: compile a Go-text/template subset into a Column — substitution
+    * `{{.COL}}` (the form the reference's configs actually use for keys and
+    * values: global/rule.go:219-226, service/endpoint/redis.go:276-284)
+    * plus nested conditionals `{{if .COL}}…{{else}}…{{end}}` with Go's
+    * truthiness for our value domain (non-null, non-empty string). Compiled
+    * once into `concat`/`when` expressions — codegen'd per row, no template
+    * engine in the hot path.
     */
   def template(tmpl: String): Column = {
-    val token = raw"\{\{\s*\.([A-Za-z0-9_]+)\s*\}\}".r
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+    sealed trait Tok
+    final case class Text(s: String) extends Tok
+    final case class Field(name: String) extends Tok
+    final case class If(name: String) extends Tok
+    case object Else extends Tok
+    case object End extends Tok
+
+    val action = raw"\{\{\s*([^}]*?)\s*\}\}".r
+    val field = raw"\.([A-Za-z0-9_]+)".r
+    val ifTok = raw"if\s+\.([A-Za-z0-9_]+)".r
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var last = 0
-    token.findAllMatchIn(tmpl).foreach { m =>
-      if (m.start > last) pieces += lit(tmpl.substring(last, m.start))
-      pieces += coalesce(col(m.group(1)).cast("string"), lit(""))
+    action.findAllMatchIn(tmpl).foreach { m =>
+      if (m.start > last) toks += Text(tmpl.substring(last, m.start))
+      m.group(1) match {
+        case field(n) => toks += Field(n)
+        case ifTok(n) => toks += If(n)
+        case "else"   => toks += Else
+        case "end"    => toks += End
+        case other => throw new IllegalArgumentException(
+          s"unsupported template action: {{$other}}")
+      }
       last = m.end
     }
-    if (last < tmpl.length) pieces += lit(tmpl.substring(last))
-    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+    if (last < tmpl.length) toks += Text(tmpl.substring(last))
+
+    val it = toks.iterator.buffered
+    def truthy(n: String): Column = {
+      val c = col(n)
+      c.isNotNull && (c.cast("string") =!= "")
+    }
+    // parse a token sequence until one of `until` (consumed by the caller)
+    def parseSeq(inBranch: Boolean): Column = {
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+      var done = false
+      while (it.hasNext && !done) {
+        it.head match {
+          case Else | End if inBranch => done = true
+          case _ => it.next() match {
+            case Text(s)  => pieces += lit(s)
+            case Field(n) => pieces += coalesce(col(n).cast("string"), lit(""))
+            case If(n) =>
+              val thenC = parseSeq(inBranch = true)
+              val elseC =
+                if (it.hasNext && it.head == Else) { it.next(); parseSeq(inBranch = true) }
+                else lit("")
+              require(it.hasNext && it.next() == End, s"unterminated {{if .$n}}")
+              pieces += when(truthy(n), thenC).otherwise(elseC)
+            case Else | End =>
+              throw new IllegalArgumentException("unexpected {{else}}/{{end}}")
+          }
+        }
+      }
+      if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+    }
+    val out = parseSeq(inBranch = false)
+    require(!it.hasNext, "dangling template tokens")
+    out
   }
 
   /** P10 sink-key derivation. */

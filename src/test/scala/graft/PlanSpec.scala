@@ -88,6 +88,37 @@ class PlanSpec extends SparkSpec {
     assert(exchange >= 0 && p.indexOf("max_by") >= 0)
   }
 
+  test("minhash LSH band join shuffles ids only — shingles never travel ×bands") {
+    val df = QueryCatalog.docMinhashPairs(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val bandJoin = joins.filter(_.condition.exists(c =>
+      c.toString.contains("band#") && c.toString.contains("bh#")))
+    assert(bandJoin.nonEmpty, "band join missing from the plan")
+    bandJoin.foreach { j =>
+      val carried = j.children.flatMap(_.output).map(_.name).toSet
+      assert(!carried.exists(n => n == "sh" || n == "shA" || n == "shB"),
+        s"band join must not carry shingle arrays, got: $carried")
+    }
+    // the verify joins DO fetch shingles — but per candidate id, not per band
+    assert(joins.exists(_.children.flatMap(_.output).map(_.name).contains("shA")))
+  }
+
+  test("hyperplane LSH expression stays O(1) in dim × bits (no tree blowup)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def nodes(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      1 + e.children.map(nodes).sum
+    val small = nodes(Bridge.expression(
+      graft.functions.Similarity.lshBucket(col("v"), dim = 8, nBits = 4, table = 0)))
+    val big = nodes(Bridge.expression(
+      graft.functions.Similarity.lshBucket(col("v"), dim = 768, nBits = 16, table = 0)))
+    // round 1 expanded to ~dim×bits (~12k nodes at 768×16); the plane-literal
+    // form only grows by the literal payload, not the expression tree
+    assert(big <= small + 8, s"expression tree scales with dim×bits: small=$small big=$big")
+    assert(big < 100, s"unexpectedly large LSH expression: $big nodes")
+  }
+
   test("live snapshot read of a compacted table: no shuffle, tombstone files pruned") {
     import spark.implicits._
     val t = LakeTable.create(spark, tmpDir("plan-snap").resolve("t").toString,

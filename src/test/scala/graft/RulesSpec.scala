@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
   * documented behaviors.
   */
 class RulesSpec extends SparkSpec {
+
+  test("P8 template conditionals: {{if .COL}}/{{else}}/{{end}}, nested, Go truthiness") {
+    import spark.implicits._
+    val df = Seq[(String, String, String)](
+      ("a", "T1", null), ("b", "", "F1"), ("c", null, null)).toDF("k", "t", "u")
+    def run(tmpl: String): Map[String, String] =
+      df.select($"k", graft.rules.RulePipeline.template(tmpl).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val simple = run("{{if .t}}has:{{.t}}{{else}}none{{end}}")
+    assert(simple == Map("a" -> "has:T1", "b" -> "none", "c" -> "none"))
+    val nested = run("k={{.k}}|{{if .t}}{{if .u}}both{{else}}t-only{{end}}{{end}}")
+    assert(nested == Map("a" -> "k=a|t-only", "b" -> "k=b|", "c" -> "k=c|"))
+    intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{if .t}}oops"))
+    intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{range .t}}x{{end}}"))
+  }
   import spark.implicits._
 
   private def df = Seq(
