@@ -410,9 +410,14 @@ object QueryCatalog {
 
   val docMinhashPairsSql: String = jaccardAllPairsSql("")
 
+  /** SimHash near-dups at the classic Hamming-≤3 radius: 4 disjoint 16-bit
+    * bands (65k buckets each) — the banding that still has headroom at
+    * 10^10 docs. Wider radii are supported (bands derive from maxHamming)
+    * but shrink the chunks; see Dedup.simhashNearDupPairs.
+    */
   def docSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(read(s, dir, "documents"), "text", "doc_id",
-      maxHamming = 8)
+      maxHamming = 3)
       .orderBy("idA", "idB")
 
   /** Exact-verify baseline — O(n²), so bounded to a 1000-doc window (the
