@@ -269,6 +269,12 @@ object Bench {
     // -------- operator catalog at local[32] on the sf dir --------
     val queries = if (skipQueries) Seq.empty[(String, Double)] else {
       spark = session(32)
+      // untimed JIT/codegen warmup: q01 runs first alphabetically and its
+      // merge+snapshot path is otherwise compiled inside its own timing
+      val warmSf = "/root/testdata/sf0.001"
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmSf)))
+        try { SparkEntry.queries("q01_cdc_replay_merge")(spark, warmSf).count(); () }
+        catch { case _: Throwable => () }
       val qs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (_, secs) =
           try time(fn(spark, sfDir).count())

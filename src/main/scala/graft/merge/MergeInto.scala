@@ -435,17 +435,22 @@ object MergeInto {
     */
   def compact(table: LakeTable, gcTombstonesBelowPos: Long = Long.MinValue): Unit = {
     val m = table.refresh()
-    if (!m.files.exists(_.kind == "delta")) return
-    val inputs = m.files.toSet
+    // SELECTIVE: only buckets that carry delta files are resolved and
+    // rewritten — compaction cost is proportional to churn, not table size
+    // (a 100 TB table with a hot 1% rewrites 1%). Pure-base buckets are
+    // untouched and already read shuffle-free.
+    val deltaBuckets = m.files.filter(_.kind == "delta").map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return
+    val inputs = m.files.filter(f => deltaBuckets.contains(f.bucket)).toSet
     val bucket = table.bucketExpr(m.numBuckets, m.bucketCols)
-    val resolved = table.snapshotWithMeta(m)
+    val resolved = table.snapshotForBuckets(m, deltaBuckets)
       .where(!col(table.DelCol) || col(table.PosCol) >= gcTombstonesBelowPos)
       .withColumnRenamed(table.DelCol, "del")
       .withColumn("bkt", bucket)
     val commitId = UUID.randomUUID().toString.take(12)
     val commitRel = s"data/$commitId"
-    // total live rows are known from the manifest — size the write exchange
-    val totalRows = m.files.map(_.rows).sum
+    // rows being rewritten are known from the manifest — size the exchange
+    val totalRows = inputs.toSeq.map(_.rows).sum
     timed("compact-write")(resolved
       .repartition(writePartitions(table, m.numBuckets, totalRows),
         col("bkt"), writeSalt(table, m.numBuckets))

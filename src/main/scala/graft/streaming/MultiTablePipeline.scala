@@ -28,7 +28,7 @@ object MultiTablePipeline {
       transform: DataFrame => DataFrame = identity)
 
   def applyBatch(routes: Seq[Route], wire: DataFrame, epoch: Long,
-      cfg: CdcPipeline.Config): Map[String, MergeResult] = {
+      cfg: CdcPipeline.Config, pipelineId: String = ""): Map[String, MergeResult] = {
     val newestSid = cfg.registry.keys.max
     val decoded = ChangelogCodec.decode(wire, cfg.registry(newestSid))
     // cache once: every route scans the same decoded batch
@@ -37,7 +37,8 @@ object MultiTablePipeline {
       routes.map { r =>
         val routed = r.transform(cached.where(r.predicate))
         r.name -> MergeInto.merge(r.table, routed, epoch, cfg.saltedDedup,
-          cfg.mergeMode, cfg.registry, batchSchemaId = newestSid)
+          cfg.mergeMode, cfg.registry, batchSchemaId = newestSid,
+          pipelineId = pipelineId, allowTakeover = cfg.allowPipelineTakeover)
       }.toMap
     } finally { cached.unpersist(); () }
   }
@@ -48,10 +49,11 @@ object MultiTablePipeline {
       .schema(Types.changeEventWireSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.changelogDir)
+    val pipelineId = CdcPipeline.resolvePipelineId(cfg.checkpointDir)
     val writer = wire.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(routes, df, batchId, cfg); ()
+        applyBatch(routes, df, batchId, cfg, pipelineId); ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs))).start()

@@ -124,6 +124,29 @@ class MergeSpec extends SparkSpec {
     assert(!t.refresh().files.exists(_.del))
   }
 
+  test("selective compaction: only delta-carrying buckets rewrite; others keep their files") {
+    val t = mkTable("compact-sel")
+    // base layer across several buckets (cow ⇒ resolved base files)
+    val seed = (0 until 8).map(i => (OpInsert, i.toLong, s"k$i", s"v$i"))
+    MergeInto.merge(t, batch(seed: _*), 0, mode = "cow")
+    val baseEntries = t.refresh().files
+    assert(baseEntries.map(_.bucket).distinct.size > 1, "seed should span buckets")
+    // churn ONE key → delta lands in exactly its bucket
+    MergeInto.merge(t, batch((OpUpdate, 100L, "k0", "vX")), 1)
+    val hot = t.refresh().files.filter(_.kind == "delta").map(_.bucket).toSet
+    assert(hot.size == 1)
+    val coldFiles = baseEntries.filterNot(f => hot.contains(f.bucket)).map(_.path).toSet
+    assert(coldFiles.nonEmpty, "need untouched buckets for the assertion")
+    MergeInto.compact(t)
+    val after = t.refresh()
+    assert(after.files.forall(_.kind == "base"))
+    // cost ∝ churn: cold buckets' files are byte-identical (same paths)
+    assert(coldFiles.subsetOf(after.files.map(_.path).toSet),
+      "compaction rewrote buckets that carried no deltas")
+    assert(state(t) == (0 until 8).map(i =>
+      s"k$i" -> (if (i == 0) "vX" else s"v$i")).toMap)
+  }
+
   test("salted two-phase dedup == plain dedup") {
     val b = batch(
       (OpInsert, 1L, "a", "a1"), (OpUpdate, 7L, "a", "a7"), (OpUpdate, 3L, "a", "a3"),
