@@ -136,6 +136,42 @@ class PropertySpec extends SparkSpec {
       StructType(Seq(StructField("x", LongType), StructField("y", StringType))))
   }
 
+  test("manifest segments: incremental fold == from-scratch fold at EVERY version " +
+    "(random merge/compact/vacuum histories)") {
+    (0 until 3).foreach { seed =>
+      val rnd = new Random(1000 + seed)
+      val t = fresh()
+      val evs = genEvents(rnd)
+      var pos = 0L
+      // drive well past the snapshot-segment cadence with a mixed history
+      (0 until LakeTable.SnapshotEvery + 6).foreach { e =>
+        rnd.nextInt(5) match {
+          case 4 if t.meta.files.exists(_.kind == "delta") => MergeInto.compact(t)
+          case _ =>
+            val slice = evs.map(x => x.copy(pos = { pos += 1; pos }))
+              .take(3 + rnd.nextInt(8))
+            MergeInto.merge(t, toDf(slice), e.toLong)
+        }
+      }
+      // the live incrementally-folded view must equal a cold fold from disk
+      val live = t.meta
+      val cold = t.metaAt(live.version)
+      assert(cold.files.toSet == live.files.toSet, s"seed=$seed files diverge")
+      assert((cold.version, cold.schemaId, cold.lastEpoch, cold.lastOffset,
+        cold.baseVersion, cold.lastPipelineId) ==
+        (live.version, live.schemaId, live.lastEpoch, live.lastOffset,
+          live.baseVersion, live.lastPipelineId), s"seed=$seed scalars diverge")
+      assert(cold.lineage == live.lineage && cold.history == live.history,
+        s"seed=$seed lineage/history diverge")
+      // every retained version reconstructs (time travel across anchors)
+      t.versions().foreach { v =>
+        val m = t.metaAt(v)
+        assert(m.version == v && m.baseVersion <= v)
+        t.snapshotAt(v).count() // must not throw
+      }
+    }
+  }
+
   test("concurrent compaction during merges never corrupts state") {
     val evs = genEvents(new Random(99))
     val t = fresh()
