@@ -18,6 +18,9 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // null even for non-null inputs (length mismatch / null element) — the
+  // default child-derived nullability would let codegen pin isNull to false
+  override def nullable: Boolean = true
   private def ok(dt: DataType) = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false

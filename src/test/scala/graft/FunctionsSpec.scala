@@ -71,6 +71,18 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cosine kernel: null on length mismatch, even with non-nullable literal inputs") {
+    val df = spark.range(1).select(
+      typedlit(Array(1.0f, 2.0f)).as("a"),
+      typedlit(Array(1.0f)).as("b"),
+      typedlit(Array(3.0f, 4.0f)).as("c"))
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("mismatch"),
+      Similarity.cosine($"a", $"c").as("ok")).head()
+    assert(r.isNullAt(0), "length mismatch must yield null (zip_with parity)")
+    assert(math.abs(r.getDouble(1) - (11.0 / (math.sqrt(5.0) * math.sqrt(25.0)))) < 1e-12)
+  }
+
   test("cosine/dot on float vectors; brute-force top-k ranks by cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
