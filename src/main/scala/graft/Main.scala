@@ -56,8 +56,12 @@ object Main {
           val m = t.refresh()
           println(s"route ${r.name}: epoch=${m.lastEpoch} offset=${m.lastOffset} " +
             s"rows=${t.snapshot().count()} v=${m.version}")
-        } else println(s"route ${r.name}: " +
-          s"${spark.read.parquet(r.outDir).count()} messages at ${r.outDir}")
+        } else {
+          // a route whose predicate matched nothing never creates outDir
+          val n = if (new java.io.File(r.outDir).exists())
+            spark.read.parquet(r.outDir).count() else 0L
+          println(s"route ${r.name}: $n messages at ${r.outDir}")
+        }
       }
 
     case "run" :: log :: tableDir :: cp :: _ =>

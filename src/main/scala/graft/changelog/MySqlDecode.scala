@@ -35,18 +35,19 @@ object MySqlDecode {
   def decodeSet(mask: Column, labels: Seq[String]): Column = {
     val m = mask.cast("long")
     val parts = labels.zipWithIndex.map { case (l, i) =>
-      when(m.bitwiseAND(lit(1L << i)) > 0, lit(l))
+      // =!= 0, not > 0: bit 63 (MySQL SET's 64-label max) is Long.MinValue
+      when(m.bitwiseAND(lit(1L << i)) =!= 0L, lit(l))
     }
     when(mask.isNull, lit(null).cast("string"))
       .otherwise(concat_ws(",", parts: _*))
   }
 
   /** BIT → 0/1 long: numeric/boolean input nonzero→1; string input follows
-    * the reference's byte check ("" → 1 else 0).
+    * the reference's byte check ("\u0001" → 1 else 0).
     */
   def decodeBit(c: Column): Column =
     when(c.isNull, lit(null).cast("long"))
-      .when(c.cast("string") === "", 1L)
+      .when(c.cast("string") === "\u0001", 1L)
       // try_cast: non-numeric strings → null → falls to the 0 branch
       // (ANSI cast would throw on the reference's raw byte strings)
       .when(coalesce(c.try_cast("long"), lit(0L)) =!= 0L, 1L)

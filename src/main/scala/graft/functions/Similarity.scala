@@ -87,6 +87,8 @@ object Similarity {
       nBits: Int = 8, nTables: Int = 2, probeHamming: Int = 1,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    require(probeHamming <= 1,
+      s"probeHamming > 1 is not implemented (only 0 or 1-bit-flip probes); got $probeHamming")
     val planesByTable = (0 until nTables).map(t => hyperplanes(dim, nBits, t))
     def bucketed(df: DataFrame, vecCol: String) =
       (0 until nTables).map { t =>

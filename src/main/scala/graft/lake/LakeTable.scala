@@ -142,8 +142,12 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
       throw new IllegalStateException(s"no table at $root"))
     if (latest == cached.version) cached
     else if (latest > cached.version) {
-      val segs = (cached.version + 1 to latest).map(v => readSegment(root, v))
-      metaCache = foldSegments(cached, segs)
+      // another process's vacuum may have cut segments between our cached
+      // version and the latest anchor — fall back to a cold fold (which
+      // starts at the newest snapshot segment and cannot need cut history)
+      metaCache =
+        try foldSegments(cached, (cached.version + 1 to latest).map(v => readSegment(root, v)))
+        catch { case _: java.nio.file.NoSuchFileException => readLatestMeta(root) }
       metaCache
     } else { // table rolled back externally (never happens in-process)
       metaCache = readLatestMeta(root)
@@ -471,7 +475,13 @@ object LakeTable {
   private[lake] def readSegment(root: Path, v: Int): MetaSegment = {
     val json = new String(Files.readAllBytes(
       root.resolve("meta").resolve(f"v$v%08d.json")), "UTF-8")
-    Serialization.read[MetaSegment](json)
+    try Serialization.read[MetaSegment](json)
+    catch { case e: org.json4s.MappingException =>
+      throw new IllegalStateException(
+        s"unreadable meta segment v$v at $root — not the manifest-segment " +
+          "format (a pre-segment-format table must be recreated or " +
+          "re-bootstrapped; data parquet files are format-compatible)", e)
+    }
   }
 
   /** Fold a snapshot segment into the TableMeta view it anchors. */

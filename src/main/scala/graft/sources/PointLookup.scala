@@ -25,14 +25,19 @@ object PointLookup {
   /** Enrich a typed Dataset with per-row lookups. `factory` builds the
     * connector ON THE EXECUTOR (the factory ships, not a live connection);
     * `key` extracts the lookup key; `merge` combines the row with the
-    * (optional) hit. The connector closes when its partition drains
-    * (Iterator.++'s tail is by-name, so close() runs after the last row).
+    * (optional) hit. The connector closes on task COMPLETION (success,
+    * failure, or early stop such as limit()) via the task listener — a
+    * drain-only close would leak connections on lookup errors and retries.
     */
   def enrich[T, K, V, R: Encoder](ds: Dataset[T], factory: () => PointLookup[K, V])
       (key: T => K)(merge: (T, Option[V]) => R): Dataset[R] =
     ds.mapPartitions { rows =>
       val conn = factory()
       conn.open()
-      rows.map(t => merge(t, conn.lookup(key(t)))) ++ { conn.close(); Iterator.empty }
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => conn.close())
+      val out = rows.map(t => merge(t, conn.lookup(key(t))))
+      if (ctx != null) out
+      else out ++ { conn.close(); Iterator.empty } // no task context (local tests)
     }
 }

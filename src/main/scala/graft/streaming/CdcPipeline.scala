@@ -158,7 +158,9 @@ object CdcPipeline {
         cfg.failureInjector.foreach(_(epoch))
         return f
       } catch {
-        case e: Throwable if attempt < cfg.maxBatchRetries =>
+        // NonFatal only: OOM/interrupt/control-flow must propagate, not
+        // spin a dying JVM through more full merge attempts
+        case scala.util.control.NonFatal(e) if attempt < cfg.maxBatchRetries =>
           attempt += 1
           System.err.println(s"[graft] batch $epoch failed " +
             s"(attempt $attempt/${cfg.maxBatchRetries}), retrying in " +
@@ -186,7 +188,7 @@ object CdcPipeline {
         q.awaitTermination()
         return
       } catch {
-        case e: Throwable if restarts < cfg.maxRestarts =>
+        case scala.util.control.NonFatal(e) if restarts < cfg.maxRestarts =>
           restarts += 1
           System.err.println(s"[graft] streaming query died " +
             s"(restart $restarts/${cfg.maxRestarts} in ${cfg.restartBackoffMs} ms): " +

@@ -35,7 +35,7 @@ class EndpointOpsSpec extends SparkSpec {
     assert(bitVals("n") == null && bitVals("z") == 0L &&
       bitVals("one") == 1L && bitVals("big") == 1L)
     // the reference's string form: "\x01" → 1, anything else → 0
-    val strBits = Seq("", "x").toDF("v")
+    val strBits = Seq("\u0001", "x").toDF("v")
       .select(MySqlDecode.decodeBit($"v")).as[Long].collect().toSeq
     assert(strBits == Seq(1L, 0L))
   }

@@ -154,6 +154,18 @@ class LakeTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(f))
   }
 
+  test("refresh survives another process's vacuum cutting its cached history") {
+    val dir = tmpDir("lt-xvac").resolve("t").toString
+    val t1 = LakeTable.create(spark, dir, schema, Seq("k"), Seq("k"), 2)
+    val t2 = LakeTable.load(spark, dir) // second "process", cache pinned at v1
+    (0 until 6).foreach(e =>
+      MergeInto.merge(t1, batch((OpInsert, e.toLong, s"k$e", s"v$e")), e.toLong))
+    t1.vacuum(keepVersions = 1) // drops the segments t2 would fold through
+    val m = t2.refresh() // must cold-reload from the new snapshot anchor
+    assert(m.version == t1.meta.version)
+    assert(state(t2.snapshot()) == (0 until 6).map(i => s"k$i" -> s"v$i").toMap)
+  }
+
   test("pipeline-identity fence: foreign checkpoints cannot be silently fenced") {
     val t = LakeTable.create(spark, tmpDir("lt-pid").resolve("t").toString,
       schema, Seq("k"), Seq("k"), 2)
