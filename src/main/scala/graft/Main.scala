@@ -115,9 +115,20 @@ object Main {
       table.lineage().orderBy(org.apache.spark.sql.functions.desc("epoch"))
         .show(10, truncate = false)
 
+    // run one catalog query N times against an sf dir (profiling/bench aid)
+    case "query" :: name :: sfDir :: rest =>
+      val reps = rest.headOption.map(_.toInt).getOrElse(1)
+      val q = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}"))
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = q(spark, sfDir).count()
+        println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
-      System.err.println("usage: gen|init|run|bootstrap|changefeed|status|set-offset|compact|vacuum ...")
+      System.err.println("usage: gen|init|run|bootstrap|changefeed|status|set-offset|compact|vacuum|query ...")
       sys.exit(2)
   }
 }

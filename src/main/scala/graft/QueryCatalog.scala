@@ -248,11 +248,19 @@ object QueryCatalog {
        |FROM events ORDER BY pos""".stripMargin
 
   /** Full MQ JSON message shape (reserve_raw_data on) — JSON text differs
-    * across engines, so rows-only.
+    * across engines, so rows-only. `raw` carries the BEFORE image and only on
+    * updates (reference: service/endpoint/kafka.go:216-218); the synthetic
+    * before image here is the deterministic "previous" row (value - 1).
     */
-  def cdcChangefeedJson(s: SparkSession, dir: String): DataFrame =
-    ChangefeedOut.toMessages(eventsAsChanges(s, dir).drop("ts"),
-      Seq("user_id", "slot"), reserveRawData = true)
+  def cdcChangefeedJson(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsAsChanges(s, dir).drop("ts")
+    val withBefore = base.withColumn("_before",
+      when(col("_op") === "update",
+        struct(col("user_id"), col("slot"), col("event_type"),
+          (col("value") - 1.0).as("value"))))
+    ChangefeedOut.toMessages(withBefore, Seq("user_id", "slot"),
+      reserveRawData = true)
+  }
 
   /** §2.7 script/UDTF surface: a typed flatMap emitting 0..n sink ops per
     * event — the Lua-script analog (delete→DEL; click/view→SET+ZADD;

@@ -39,6 +39,28 @@ object ChangelogCodec {
     ).select(col("_op"), col("_pos"), col("_event_ts"), col("_schema_id"), col("_img.*"))
   }
 
+  /** [[decode]] plus a `_before` struct column carrying the BEFORE image —
+    * parsed ONLY for updates (null otherwise), because that is the only op
+    * whose old image any consumer reads: the changefeed's `reserve_raw_data`
+    * emits `raw` = old row iff action == update (reference:
+    * service/endpoint/kafka.go:216-218, endpoint.go:284-306 oldRowMap reads
+    * `req.Old`). The merge path stays on [[decode]] — one parse per event.
+    */
+  def decodeWithBefore(wire: DataFrame, schema: StructType): DataFrame = {
+    val img = from_json(
+      when(col("op") === OpDelete, col("before")).otherwise(col("after")), schema)
+    val old = from_json(when(col("op") === OpUpdate, col("before")), schema)
+    wire.select(
+      col("op").as("_op"),
+      col("pos").as("_pos"),
+      col("ts").as("_event_ts"),
+      col("schema_id").as("_schema_id"),
+      old.as("_before"),
+      img.as("_img")
+    ).select(col("_op"), col("_pos"), col("_event_ts"), col("_schema_id"),
+      col("_before"), col("_img.*"))
+  }
+
   implicit val changeEventEncoder: Encoder[Types.ChangeEvent] =
     Encoders.product[Types.ChangeEvent]
 

@@ -59,7 +59,13 @@ final case class GraftConfig(
     autoCompactRatio: Double = 4.0,
     autoCompactMinRows: Long = 200000L,
     allowPipelineTakeover: Boolean = false,
-    routes: Seq[RouteConf] = Nil)
+    routes: Seq[RouteConf] = Nil,
+    // optional schema registry: schema_id → row schema (DDL string in YAML).
+    // Empty = the built-in transcript registry. The reference refreshes rule
+    // schemas on DDL (service/transfer_service.go:298-326); here the declared
+    // registry is the DDL timeline, and a mid-stream _schema_id bump evolves
+    // each lake route's table to the rule output of that schema version.
+    schemas: Map[Int, org.apache.spark.sql.types.StructType] = Map.empty)
 
 object GraftConfig {
 
@@ -81,7 +87,11 @@ object GraftConfig {
       autoCompactRatio = dbl(root, "auto_compact_ratio", 4.0),
       autoCompactMinRows = long(root, "auto_compact_min_rows", 200000L),
       allowPipelineTakeover = bool(root, "allow_pipeline_takeover", default = false),
-      routes = routes)
+      routes = routes,
+      schemas = asMap(root.getOrElse("schemas", null)).map { case (sid, ddl) =>
+        sid.trim.toInt ->
+          org.apache.spark.sql.types.StructType.fromDDL(String.valueOf(ddl))
+      })
   }
 
   private def parseRoute(m: Map[String, Any]): RouteConf = {

@@ -107,12 +107,19 @@ object Similarity {
           explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("probe"))
           .drop("bucket").withColumnRenamed("probe", "bucket")
       }
+    // candidate dedup on IDS ONLY — a (table × probe) duplicate candidate
+    // must not drag two dim-sized vectors through the distinct exchange
+    // (the same id-only discipline as the minhash band join); vectors are
+    // re-attached ONCE per surviving pair for scoring
     val cand = qb.join(cb, Seq("tbl", "bucket"))
       .where(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), col(qVec), col(cVec)).distinct()
+      .select(col(qId), col(cId)).distinct()
+    val scored = cand
+      .join(queries.select(col(qId), col(qVec)), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
       .withColumn("cosine", cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qId), col(cId), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
@@ -128,11 +135,19 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2,
-      corpusAssign: Int = 1,
+      corpusAssign: Int = 1, trainFraction: Double = 1.0,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
+    // Lloyd trains on a deterministic hash-sample of the corpus:
+    // `trainFraction` < 1 is the 10^10-scale knob (coarse quantizers
+    // converge on a sample; a full-corpus assign per iteration would scan
+    // 100 TB × trainIters just to place ~nCells centroids)
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else corpus.where(
+        pmod(xxhash64(col(cId)), lit(1000000L)) < lit((trainFraction * 1000000L).toLong))
     // deterministic centroid seed: smallest ids, one per hash stripe
-    var cents = corpus
+    var cents = trainSet
       .withColumn("_stripe", pmod(xxhash64(col(cId)), lit(nCells)))
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_stripe")).orderBy(col(cId))))
@@ -141,7 +156,7 @@ object Similarity {
     // Lloyd refinement: nearest-cell assign, then element-wise mean per cell
     // (posexplode → avg per (cell, dim) → re-assemble ordered array)
     (0 until trainIters).foreach { _ =>
-      val assigned = corpus.crossJoin(broadcast(cents))
+      val assigned = trainSet.crossJoin(broadcast(cents))
         .withColumn("_d", cosine(col(cVec), col("cent_vec")))
         .withColumn("_r", row_number().over(
           Window.partitionBy(col(cId)).orderBy(col("_d").desc, col("cell"))))
@@ -166,12 +181,17 @@ object Similarity {
 
     val corpusCells = assign(corpus, cVec, corpusAssign)
     val queryCells = assign(queries, qVec, nProbe)
+    // id-only candidate dedup (multi-assigned corpus vectors can meet the
+    // same query in several cells); vectors re-attached once for scoring
     val cand = queryCells.join(corpusCells, Seq("cell"))
       .where(col(qId) =!= col(cId))
-      .select(col(qId), col(cId), col(qVec), col(cVec)).distinct()
+      .select(col(qId), col(cId)).distinct()
+    val scored = cand
+      .join(queries.select(col(qId), col(qVec)), Seq(qId))
+      .join(corpus.select(col(cId), col(cVec)), Seq(cId))
       .withColumn("cosine", cosine(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(qId), col(cId), round(col("cosine"), 6).as("cosine"), col("rank"))
   }

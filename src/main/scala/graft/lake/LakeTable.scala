@@ -320,19 +320,31 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     var removedFiles = 0
     if (Files.isDirectory(dataDir)) {
       val now = System.currentTimeMillis()
-      val w1 = Files.walk(dataDir)
-      try w1.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .foreach { p =>
-          val rel = root.relativize(p).toString
-          val delete =
-            if (survivingRef.contains(rel)) false
-            else if (droppedRef.contains(rel)) true
-            else orphanGraceMs >= 0L &&
-              (now - Files.getLastModifiedTime(p).toMillis) > orphanGraceMs
-          if (delete) { Files.deleteIfExists(p); removedFiles += 1 }
-        }
-      finally w1.close()
+      val w0 = Files.walk(dataDir)
+      val parquets =
+        try w0.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => (p, Files.getLastModifiedTime(p).toMillis)).toVector
+        finally w0.close()
+      // Grace is keyed on the COMMIT DIRECTORY's newest file mtime, not each
+      // file's own: a large in-flight stage writes its first parquet long
+      // before the commit publishes, so per-file mtime would reap the early
+      // files of a live commit once the write outlasts the grace window. A
+      // commit dir whose NEWEST file is older than the grace is genuinely
+      // abandoned (crash leftovers) — nothing has touched it since.
+      def commitDir(p: java.nio.file.Path) = dataDir.relativize(p).getName(0)
+      val newestInCommit: Map[java.nio.file.Path, Long] =
+        parquets.groupBy { case (p, _) => commitDir(p) }
+          .map { case (d, fs) => d -> fs.map(_._2).max }
+      parquets.foreach { case (p, _) =>
+        val rel = root.relativize(p).toString
+        val delete =
+          if (survivingRef.contains(rel)) false
+          else if (droppedRef.contains(rel)) true
+          else orphanGraceMs >= 0L &&
+            (now - newestInCommit(commitDir(p))) > orphanGraceMs
+        if (delete) { Files.deleteIfExists(p); removedFiles += 1 }
+      }
       // prune emptied commit directories
       val w2 = Files.walk(dataDir)
       val dirs = try w2.iterator().asScala.toSeq.reverse finally w2.close()

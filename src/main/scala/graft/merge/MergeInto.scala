@@ -471,28 +471,34 @@ object MergeInto {
   }
 
   /** Non-blocking compaction trigger: fires [[compact]] on a daemon thread,
-    * at most one in flight per JVM — ingest keeps streaming while
-    * maintenance folds deltas (async table services, as on a real lake).
+    * at most one in flight PER TABLE (keyed by table root — a JVM-global flag
+    * would let one table's compaction starve every other route's in a
+    * multi-table pipeline) — ingest keeps streaming while maintenance folds
+    * deltas (async table services, as on a real lake).
     */
-  private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val compacting =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   def maybeCompactAsync(table: LakeTable, ratio: Double, minRows: Long): Boolean = {
     val m = table.meta
     val deltaRows = m.files.filter(_.kind == "delta").map(_.rows).sum
     val baseRows = m.files.filter(_.kind == "base").map(_.rows).sum
     val due = deltaRows >= minRows && deltaRows >= ratio * baseRows
-    if (!due || !compacting.compareAndSet(false, true)) return false
+    if (!due || compacting.putIfAbsent(table.root.toString, java.lang.Boolean.TRUE) != null)
+      return false
     val t = new Thread(() =>
       try compact(table)
       catch { case e: Throwable =>
         System.err.println(s"[graft] async compaction failed (will retry later): $e")
-      } finally compacting.set(false), "graft-compactor")
+      } finally { compacting.remove(table.root.toString); () }, "graft-compactor")
     t.setDaemon(true)
     t.start()
     true
   }
 
-  /** Block until no async compaction is in flight (test/shutdown hook). */
-  def awaitCompaction(): Unit = { while (compacting.get()) Thread.sleep(50) }
+  /** Block until no async compaction is in flight — all tables, or one. */
+  def awaitCompaction(): Unit = { while (!compacting.isEmpty) Thread.sleep(50) }
+  def awaitCompaction(table: LakeTable): Unit =
+    while (compacting.containsKey(table.root.toString)) Thread.sleep(50)
 
   /** Delta-vs-base row ratio (compaction trigger input). */
   def deltaRatio(table: LakeTable): Double = {

@@ -48,15 +48,28 @@ object EventTransform {
   * assumption.
   */
 object ChangefeedOut {
+  /** Columns that are message metadata, not row payload. */
+  private val MetaCols = Set("_op", "_pos", "_event_ts", "_schema_id", "_before")
+
+  /** Shape decoded change rows into (key, value) MQ messages. With
+    * `reserveRawData`, `raw` is the BEFORE image and is emitted ONLY for
+    * updates (reference: kafka.go:216-218 — `if ReserveRawData && action ==
+    * update { resp.Raw = oldRowMap(...) }`); on other ops the struct is null
+    * and `to_json` omits the field. Requires a `_before` column — decode with
+    * [[graft.changelog.ChangelogCodec.decodeWithBefore]].
+    */
   def toMessages(decoded: DataFrame, keyCols: Seq[String],
       reserveRawData: Boolean = false): DataFrame = {
-    val rowCols = decoded.columns.filterNot(Set("_op", "_pos", "_event_ts")).toSeq
+    val rowCols = decoded.columns.filterNot(MetaCols).toSeq
     val date = struct(rowCols.map(col): _*)
-    val payload = if (reserveRawData)
+    val payload = if (reserveRawData) {
+      require(decoded.columns.contains("_before"),
+        "reserve_raw_data needs the before image: decode with ChangelogCodec.decodeWithBefore")
       struct(col("_op").as("action"),
         unix_timestamp(col("_event_ts")).as("timestamp"),
-        date.as("raw"), date.as("date"))
-    else
+        when(col("_op") === "update", col("_before")).as("raw"),
+        date.as("date"))
+    } else
       struct(col("_op").as("action"),
         unix_timestamp(col("_event_ts")).as("timestamp"), date.as("date"))
     decoded.select(

@@ -86,6 +86,33 @@ object RulePipeline {
     out
   }
 
+  /** Apply a rule's PROJECTION surface to a struct image — the analog of the
+    * reference's `oldRowMap` (service/endpoint/endpoint.go:284-306), which
+    * runs the same PaddingMap (include/rename/case) + default columns over
+    * `req.Old`. Filter and computed columns are intentionally absent: the
+    * reference's PaddingMap carries neither (Lua computeds read ___OLDROW___
+    * themselves). Null structs stay null.
+    */
+  def applyToStruct(image: Column, fieldNames: Seq[String], rule: Rule): Column = {
+    var fields: Seq[(String, Column)] =
+      fieldNames.map(n => n -> image.getField(n))
+    if (rule.includeColumns.nonEmpty)
+      fields = rule.includeColumns.flatMap(n => fields.find(_._1 == n))
+    if (rule.excludeColumns.nonEmpty)
+      fields = fields.filterNot { case (n, _) => rule.excludeColumns.contains(n) }
+    if (rule.columnMappings.nonEmpty)
+      fields = fields.map { case (n, c) => rule.columnMappings.getOrElse(n, n) -> c }
+    fields = fields ++ rule.defaultColumns.map { case (k, v) => k -> lit(v) }
+    rule.dateFormats.foreach { case (cn, pattern) =>
+      fields = fields.map { case (n, c) =>
+        if (n == cn) n -> date_format(c, pattern) else n -> c }
+    }
+    rule.caseTransform.foreach { t =>
+      fields = fields.map { case (n, c) => wrapName(n, t) -> c }
+    }
+    when(image.isNotNull, struct(fields.map { case (n, c) => c.as(n) }: _*))
+  }
+
   /** P3 name case transform (reference: util/stringutil/string_util.go:270-275). */
   def wrapName(name: String, transform: String): String = transform match {
     case "upper" => name.toUpperCase

@@ -51,6 +51,11 @@ object CdcPipeline {
       retryBackoffMs: Long = 100L,
       maxRestarts: Int = 3,
       restartBackoffMs: Long = 500L,
+      // a query that ran healthily this long earns its restart budget back —
+      // without this, sporadic terminal errors over weeks exhaust the budget
+      // and kill a healthy pipeline permanently (the reference reconnects
+      // indefinitely: transfer_service.go:328-354)
+      restartResetMs: Long = 60000L,
       // test hook: invoked with the batchId INSIDE the retried region, so
       // specs can inject transient sink failures deterministically
       failureInjector: Option[Long => Unit] = None)
@@ -62,15 +67,39 @@ object CdcPipeline {
     * never-applied events as "replays" (the Delta txn-appId pattern).
     */
   def resolvePipelineId(checkpointDir: String): String = {
+    import java.nio.file.{Files, Paths}
     if (checkpointDir == null || checkpointDir.isEmpty) return ""
-    val dir = java.nio.file.Paths.get(checkpointDir)
-    java.nio.file.Files.createDirectories(dir)
+    val dir = Paths.get(checkpointDir)
+    Files.createDirectories(dir)
     val f = dir.resolve("graft-pipeline-id")
-    if (java.nio.file.Files.exists(f))
-      new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
-    else {
+    if (Files.exists(f)) {
+      // An empty/corrupt id file is an ERROR, never a fallback: returning ""
+      // here would silently degrade fenced() to the epoch-only fence — the
+      // exact data-loss mode the identity binding exists to prevent.
+      val id = new String(Files.readAllBytes(f), "UTF-8").trim
+      require(id.matches("[0-9a-fA-F-]{36}"),
+        s"corrupt pipeline-id file $f (${id.length} chars) — a crash mid-" +
+          "write left it unreadable; delete it to mint a fresh identity " +
+          "(with allowPipelineTakeover if the table was already written)")
+      id
+    } else {
       val id = java.util.UUID.randomUUID().toString
-      java.nio.file.Files.write(f, id.getBytes("UTF-8"))
+      // temp-file + ATOMIC_MOVE: the id file is either absent or complete,
+      // never truncated (a plain write could crash half-flushed and poison
+      // every later start)
+      val tmp = Files.createTempFile(dir, ".graft-pipeline-id", ".tmp")
+      Files.write(tmp, id.getBytes("UTF-8"))
+      // hard-link publish (same primitive as commit publish): unlike
+      // ATOMIC_MOVE — whose POSIX rename silently REPLACES an existing
+      // target, letting two racing starts each keep their own id — link
+      // FAILS if the file exists, so the loser adopts the winner's id
+      try Files.createLink(f, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          return resolvePipelineId(checkpointDir)
+      }
+      Files.deleteIfExists(tmp)
       id
     }
   }
@@ -183,12 +212,19 @@ object CdcPipeline {
       availableNow: Boolean = true): Unit = {
     var restarts = 0
     while (true) {
+      val startedAt = System.nanoTime()
       val q = start(spark, table, cfg, availableNow)
       try {
         q.awaitTermination()
         return
       } catch {
-        case scala.util.control.NonFatal(e) if restarts < cfg.maxRestarts =>
+        case scala.util.control.NonFatal(e)
+            if restarts < cfg.maxRestarts ||
+              (System.nanoTime() - startedAt) / 1000000L >= cfg.restartResetMs =>
+          // a healthy run longer than restartResetMs refunds the budget:
+          // the counter guards against crash LOOPS, not lifetime crash COUNT
+          if ((System.nanoTime() - startedAt) / 1000000L >= cfg.restartResetMs)
+            restarts = 0
           restarts += 1
           System.err.println(s"[graft] streaming query died " +
             s"(restart $restarts/${cfg.maxRestarts} in ${cfg.restartBackoffMs} ms): " +

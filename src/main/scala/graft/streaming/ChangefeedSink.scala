@@ -26,8 +26,10 @@ object ChangefeedSink {
       .schema(Types.changeEventWireSchema)
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .parquet(cfg.changelogDir)
-    val messages = ChangefeedOut.toMessages(
-      ChangelogCodec.decode(wire, newest), keyCols, reserveRawData)
+    val decoded =
+      if (reserveRawData) ChangelogCodec.decodeWithBefore(wire, newest)
+      else ChangelogCodec.decode(wire, newest)
+    val messages = ChangefeedOut.toMessages(decoded, keyCols, reserveRawData)
     val writer = messages.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .format("parquet") // stand-in for format("kafka") — same (key, value) contract

@@ -28,66 +28,122 @@ import org.apache.spark.sql.types.StructType
   */
 object ConfigPipeline {
 
-  final case class Built(conf: RouteConf, table: LakeTable)
+  final case class Built(conf: RouteConf, table: LakeTable,
+      // schema_id → RULE-OUTPUT shape per registry version: the evolution
+      // timeline of THIS route's table (lake routes only)
+      outRegistry: Map[Int, StructType] = Map.empty)
+
+  /** The decode registry for a config: the YAML `schemas:` block when
+    * declared, the built-in transcript registry otherwise.
+    */
+  def registryOf(c: GraftConfig): Map[Int, StructType] =
+    if (c.schemas.nonEmpty) c.schemas else Types.transcriptSchemas
+
+  /** A route's output shape under one decode-schema version. */
+  private def outShapeFor(spark: SparkSession, r: RouteConf,
+      decodeSchema: StructType): StructType = {
+    val decodedShape = ChangelogCodec.decode(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Types.changeEventWireSchema), decodeSchema)
+    StructType(routeTransform(decodedShape, r).schema
+      .filterNot(f => ChangelogCodec.MetaCols.contains(f.name)))
+  }
 
   /** Create/load the lake tables the routes target. A new table's schema is
     * the rule's OUTPUT shape (decode schema → rule projection, meta columns
-    * dropped) — so renames/defaults/computed columns are first-class.
+    * dropped) — so renames/defaults/computed columns are first-class. It is
+    * created at the registry's OLDEST version and evolves per observed
+    * `_schema_id` (the reference's OnTableChanged rule refresh,
+    * service/transfer_service.go:298-326) via the per-route output registry.
     */
-  def build(spark: SparkSession, c: GraftConfig,
-      registry: Map[Int, StructType] = Types.transcriptSchemas): Seq[Built] = {
-    val decodedShape = ChangelogCodec.decode(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Types.changeEventWireSchema), registry(registry.keys.max))
+  def build(spark: SparkSession, c: GraftConfig): Seq[Built] = {
+    val registry = registryOf(c)
     c.routes.map { r =>
       if (r.target != "lake") Built(r, null)
-      else if (LakeTable.exists(r.tableDir)) Built(r, LakeTable.load(spark, r.tableDir))
       else {
-        val outShape = StructType(routeTransform(decodedShape, r).schema
-          .filterNot(f => ChangelogCodec.MetaCols.contains(f.name)))
-        r.keyColumns.foreach(k => require(outShape.fieldNames.contains(k),
-          s"route ${r.name}: key column $k missing from rule output " +
-            s"(${outShape.fieldNames.mkString(",")})"))
-        val bucketCols = if (r.bucketColumns.nonEmpty) r.bucketColumns
-          else Seq(r.keyColumns.head)
-        Built(r, LakeTable.create(spark, r.tableDir, outShape,
-          r.keyColumns, bucketCols, r.numBuckets))
+        val outRegistry = registry.map { case (sid, s) =>
+          sid -> outShapeFor(spark, r, s) }
+        if (LakeTable.exists(r.tableDir))
+          Built(r, LakeTable.load(spark, r.tableDir), outRegistry)
+        else {
+          val sid0 = registry.keys.min
+          val outShape = outRegistry(sid0)
+          r.keyColumns.foreach(k => require(outShape.fieldNames.contains(k),
+            s"route ${r.name}: key column $k missing from rule output " +
+              s"(${outShape.fieldNames.mkString(",")})"))
+          val bucketCols = if (r.bucketColumns.nonEmpty) r.bucketColumns
+            else Seq(r.keyColumns.head)
+          Built(r, LakeTable.create(spark, r.tableDir, outShape,
+            r.keyColumns, bucketCols, r.numBuckets, schemaId = sid0), outRegistry)
+        }
       }
     }
   }
 
-  /** Route predicate + rule over a decoded batch, meta columns preserved. */
-  def routeTransform(decoded: DataFrame, r: RouteConf): DataFrame =
-    RulePipeline(decoded.where(expr(r.filter)), r.rule,
-      preserve = ChangelogCodec.MetaCols)
+  /** Route predicate + rule over a decoded batch, meta columns preserved.
+    * When the batch carries a `_before` image (decoded for reserve_raw_data
+    * routes), a changefeed route shapes it through the SAME rule projection
+    * — the reference applies its PaddingMap to `req.Old` too
+    * (service/endpoint/endpoint.go:284-306) — and every other route drops it.
+    */
+  def routeTransform(decoded: DataFrame, r: RouteConf): DataFrame = {
+    val hasBefore = decoded.columns.contains("_before")
+    val preserve =
+      if (hasBefore) ChangelogCodec.MetaCols :+ "_before" else ChangelogCodec.MetaCols
+    val out = RulePipeline(decoded.where(expr(r.filter)), r.rule, preserve = preserve)
+    if (!hasBefore) out
+    else if (r.target != "lake" && r.reserveRawData) {
+      val beforeFields = decoded.schema("_before").dataType
+        .asInstanceOf[StructType].fieldNames.toSeq
+      out.withColumn("_before",
+        RulePipeline.applyToStruct(col("_before"), beforeFields, r.rule))
+    } else out.drop("_before")
+  }
 
   def applyBatch(routes: Seq[Built], wire: DataFrame, epoch: Long,
-      c: GraftConfig, pipelineId: String,
-      registry: Map[Int, StructType] = Types.transcriptSchemas): Map[String, MergeResult] = {
-    val decoded = ChangelogCodec.decode(wire, registry(registry.keys.max))
+      c: GraftConfig, pipelineId: String): Map[String, MergeResult] = {
+    val registry = registryOf(c)
+    val newestSid = registry.keys.max
+    val needBefore = routes.exists(b => b.conf.target != "lake" && b.conf.reserveRawData)
+    val newest = registry(newestSid)
+    val decoded =
+      if (needBefore) ChangelogCodec.decodeWithBefore(wire, newest)
+      else ChangelogCodec.decode(wire, newest)
     val cached = decoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       routes.map { b =>
         val routed = routeTransform(cached, b.conf)
         val res = b.conf.target match {
           case "lake" =>
-            // config tables have a FIXED rule-output schema (registry-driven
-            // evolution stays on the code-level API), so no registry here
-            MergeInto.merge(b.table, routed.drop("_schema_id"), epoch,
+            // the observed _schema_id watermark + the route's OUTPUT
+            // registry evolve the table in-commit, same as the code-level
+            // API (OnTableChanged analog)
+            MergeInto.merge(b.table, routed, epoch,
               c.saltedDedup, c.mergeMode,
+              registry = b.outRegistry, batchSchemaId = newestSid,
               pipelineId = pipelineId, allowTakeover = c.allowPipelineTakeover)
           case _ =>
             val out =
               if (b.conf.ops.nonEmpty) ExprTransform.run(routed, b.conf.ops)
               else ChangefeedOut.toMessages(routed.drop("_schema_id"),
                 b.conf.keyColumns, b.conf.reserveRawData)
-            out.write.mode("append").parquet(b.conf.outDir)
+            // exactly-once: one partition dir per epoch, OVERWRITTEN on
+            // replay — a crash between this write and the checkpoint save
+            // re-runs the batch into the same dir instead of appending
+            // duplicates (the foreachBatch analog of the lake routes' fence)
+            out.write.mode("overwrite").parquet(s"${b.conf.outDir}/epoch=$epoch")
             MergeResult(epoch, skipped = false, 0, 0, 0, 0)
         }
         b.conf.name -> res
       }.toMap
     } finally { cached.unpersist(); () }
   }
+
+  /** Read a changefeed route's output (the per-epoch partition dirs), epoch
+    * partition column dropped — consumers see the plain (key, value) shape.
+    */
+  def readFeed(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("epoch")
 
   def start(spark: SparkSession, c: GraftConfig,
       availableNow: Boolean = false): StreamingQuery = {

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.changelog.ChangelogCodec
+import graft.lake.LakeTable
+import graft.merge.{MergeInto, MergeResult}
+import graft.core.Types
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S6 dynamic half: MID-STREAM wildcard route discovery. The reference
+  * re-expands its `include_table_regex` against the database whenever tables
+  * change and attaches freshly-built rules without a restart
+  * (reference: service/transfer_service.go:213-237 wildcard expansion,
+  * 298-326 OnTableChanged rule rebuild). [[MultiTablePipeline]] covers the
+  * static half (routes fixed at start); here the route set is re-derived
+  * EVERY micro-batch from the routing column's observed values:
+  *
+  *   - each distinct `routeCol` value matching `pattern` is a logical table;
+  *   - a value seen for the first time gets a LakeTable created under
+  *     `tablesDir/<value>` and receives its events from that batch on — the
+  *     create+first-merge is the bootstrap-then-stream handoff (a new table's
+  *     change events begin at its creation, so nothing precedes the attach);
+  *   - values matching no pattern are dropped (reference: handler.go:83-86).
+  *
+  * Scale shape: the discovery aggregate collects only DISTINCT route values
+  * (table names — thousands at most, never rows), and each route's merge is
+  * the same one-job MOR apply as the static pipeline. A lone-`*` pattern is
+  * rejected exactly like the reference (transfer_service.go:209-211).
+  */
+object DynamicRoutePipeline {
+
+  final case class Config(
+      routeCol: String,
+      pattern: String,
+      tablesDir: String,
+      keyCols: Seq[String],
+      bucketCols: Seq[String],
+      numBuckets: Int = 8)
+
+  /** Discovered routes — name → table, grown as the stream reveals new
+    * matching values. foreachBatch bodies run sequentially, so a plain map
+    * guarded by the pipeline instance suffices.
+    */
+  final class State {
+    val tables = scala.collection.mutable.Map.empty[String, LakeTable]
+    def names: Seq[String] = tables.keys.toSeq.sorted
+  }
+
+  private def tableFor(spark: SparkSession, d: Config, state: State,
+      name: String): LakeTable =
+    state.tables.getOrElseUpdate(name, {
+      val dir = s"${d.tablesDir}/$name"
+      if (LakeTable.exists(dir)) LakeTable.load(spark, dir)
+      else LakeTable.create(spark, dir, Types.transcriptSchemaV2,
+        d.keyCols, d.bucketCols, d.numBuckets,
+        schemaId = Types.transcriptSchemas.keys.max)
+    })
+
+  def applyBatch(spark: SparkSession, d: Config, state: State, wire: DataFrame,
+      epoch: Long, cfg: CdcPipeline.Config,
+      pipelineId: String = ""): Map[String, MergeResult] = {
+    require(d.pattern != "*" && d.pattern != ".*",
+      "wildcard pattern must constrain the table name (reference: lone * is illegal)")
+    val newestSid = cfg.registry.keys.max
+    val decoded = ChangelogCodec.decode(wire, cfg.registry(newestSid))
+    val cached = decoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // discovery: the batch's distinct matching route values (small — table
+      // names, not rows; the aggregate is map-side combined)
+      val observed = cached.select(col(d.routeCol).cast("string").as("n"))
+        .where(col("n").isNotNull).distinct().collect().map(_.getString(0))
+        .filter(_.matches(d.pattern)).sorted
+      observed.map { name =>
+        val t = tableFor(spark, d, state, name)
+        name -> MergeInto.merge(t, cached.where(col(d.routeCol) === name),
+          epoch, cfg.saltedDedup, cfg.mergeMode, cfg.registry,
+          batchSchemaId = newestSid, pipelineId = pipelineId,
+          allowTakeover = cfg.allowPipelineTakeover)
+      }.toMap
+    } finally { cached.unpersist(); () }
+  }
+
+  def start(spark: SparkSession, d: Config, cfg: CdcPipeline.Config,
+      availableNow: Boolean = false): (StreamingQuery, State) = {
+    val state = new State
+    val wire = spark.readStream
+      .schema(Types.changeEventWireSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .parquet(cfg.changelogDir)
+    val pipelineId = CdcPipeline.resolvePipelineId(cfg.checkpointDir)
+    val writer = wire.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        applyBatch(spark, d, state, df, batchId, cfg, pipelineId); ()
+      }
+    val q = (if (availableNow) writer.trigger(Trigger.AvailableNow())
+      else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs))).start()
+    (q, state)
+  }
+
+  def runToCompletion(spark: SparkSession, d: Config,
+      cfg: CdcPipeline.Config): State = {
+    val (q, state) = start(spark, d, cfg, availableNow = true)
+    q.awaitTermination()
+    state
+  }
+}

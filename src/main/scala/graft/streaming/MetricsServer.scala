@@ -35,11 +35,31 @@ final class MetricsServer(tables: Map[String, LakeTable], port: Int = 0) {
 
   private def handler(body: () => String, contentType: String): HttpHandler =
     (exchange: HttpExchange) => {
-      val bytes = body().getBytes("UTF-8")
-      exchange.getResponseHeaders.set("Content-Type", contentType)
-      exchange.sendResponseHeaders(200, bytes.length)
+      // a throwing body (e.g. refresh() after the table dir vanished) must
+      // still answer — an escaped exception drops the exchange and hangs the
+      // scraper until its timeout
+      val (code, bytes, ct) =
+        try (200, body().getBytes("UTF-8"), contentType)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            (500, s"scrape failed: ${e.getClass.getSimpleName}: ${e.getMessage}"
+              .getBytes("UTF-8"), "text/plain")
+        }
+      exchange.getResponseHeaders.set("Content-Type", ct)
+      exchange.sendResponseHeaders(code, bytes.length)
       val os = exchange.getResponseBody
       try os.write(bytes) finally os.close()
+    }
+
+  /** Prometheus label-value / JSON string escaping (the two formats share
+    * the same three escapes: backslash, double-quote, newline).
+    */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case c    => c.toString
     }
 
   private def rows(): Seq[(String, graft.lake.TableMeta)] =
@@ -49,7 +69,8 @@ final class MetricsServer(tables: Map[String, LakeTable], port: Int = 0) {
     val sb = new StringBuilder
     def gauge(name: String, help: String, vals: Seq[(String, Long)]): Unit = {
       sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
-      vals.foreach { case (tbl, v) => sb.append(s"""$name{table="$tbl"} $v""").append('\n') }
+      vals.foreach { case (tbl, v) =>
+        sb.append(s"""$name{table="${esc(tbl)}"} $v""").append('\n') }
     }
     val ms = rows()
     gauge("graft_table_version", "current committed table version",
@@ -73,7 +94,7 @@ final class MetricsServer(tables: Map[String, LakeTable], port: Int = 0) {
 
   private def statusJson(): String =
     rows().map { case (n, m) =>
-      s""""$n":{"version":${m.version},"schemaId":${m.schemaId},""" +
+      s""""${esc(n)}":{"version":${m.version},"schemaId":${m.schemaId},""" +
         s""""lastEpoch":${m.lastEpoch},"lastOffset":${m.lastOffset},""" +
         s""""files":${m.files.size},"rows":${m.files.map(_.rows).sum}}"""
     }.mkString("{", ",", "}")

@@ -62,11 +62,121 @@ class ConfigSpec extends SparkSpec {
     assert(missing.isEmpty && extra.isEmpty && diff.isEmpty,
       s"missing=${missing.take(3)} extra=${extra.take(3)} diff=${diff.take(3)}")
 
-    // changefeed route: one keyed message per non-delete event
-    val feed = spark.read.parquet(s"$work/feed")
+    // changefeed route: one keyed message per non-delete event, exactly once
+    val feed = ConfigPipeline.readFeed(spark, s"$work/feed")
     val nonDeletes = decoded.where($"_op" =!= "delete").count()
     assert(feed.count() == nonDeletes)
     assert(feed.columns.toSeq == Seq("key", "value"))
+  }
+
+  test("changefeed route exactly-once: batch replay overwrites, kill+resume exact") {
+    val work = tmpDir("cfg-eo")
+    val log = s"$work/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 6000, nConversations = 120, chunkSize = 1000,
+        dupEvery = 0), log)
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |max_files_per_trigger: 1
+         |routes:
+         |  - name: feed
+         |    target: changefeed
+         |    out_dir: $work/feed
+         |    key_columns: [conv_id, turn_idx]
+         |""".stripMargin
+    val cfgFile = work.resolve("app.yml")
+    java.nio.file.Files.write(cfgFile, yaml.getBytes("UTF-8"))
+    val c = GraftConfig.load(cfgFile.toString)
+
+    // kill mid-stream: stop after at least one committed micro-batch
+    val q = ConfigPipeline.start(spark, c)
+    val deadline = System.currentTimeMillis() + 60000
+    def epochs() = {
+      val d = java.nio.file.Paths.get(s"$work/feed")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else { val s = java.nio.file.Files.list(d); try s.count().toInt finally s.close() }
+    }
+    while (epochs() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q.stop(); q.awaitTermination()
+    assert(epochs() >= 1, "no batch committed before the kill")
+
+    // resume from checkpoint and drain: message count == event count EXACTLY
+    ConfigPipeline.runToCompletion(spark, c)
+    assert(ConfigPipeline.readFeed(spark, s"$work/feed").count() == 6000)
+
+    // crash-replay emulation (separate out dir so the stream's numbering is
+    // untouched): a crash between sink write and checkpoint save re-runs the
+    // SAME epoch — the per-epoch overwrite must not duplicate
+    val c2 = c.copy(routes = Seq(c.routes.head.copy(outDir = s"$work/feed2")),
+      checkpointDir = s"$work/cp2")
+    val routes2 = ConfigPipeline.build(spark, c2)
+    val wire = spark.read.schema(Types.changeEventWireSchema).parquet(log)
+      .where(col("epoch_hint") === 0)
+    val n0 = wire.count()
+    ConfigPipeline.applyBatch(routes2, wire, 0L, c2, "test-pipe")
+    ConfigPipeline.applyBatch(routes2, wire, 0L, c2, "test-pipe") // replay
+    assert(ConfigPipeline.readFeed(spark, s"$work/feed2").count() == n0,
+      "replayed epoch appended duplicates")
+  }
+
+  test("YAML schemas block: mid-stream schema_id bump evolves a lake route's table") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val work = tmpDir("cfg-evo")
+    val log = s"$work/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 12000, nConversations = 200, chunkSize = 2000,
+        dupEvery = 0, schemaEvolution = true), log)
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |max_files_per_trigger: 2
+         |schemas:
+         |  0: "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+         |  1: "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, lang string"
+         |  2: "conv_id string, turn_idx bigint, role string, text string, tool string, ts timestamp, lang string"
+         |routes:
+         |  - name: t
+         |    target: lake
+         |    table_dir: $work/t
+         |    key_columns: [conv_id, turn_idx]
+         |    bucket_columns: [conv_id]
+         |    num_buckets: 4
+         |    rule:
+         |      column_mappings: {role: speaker}
+         |""".stripMargin
+    val cfgFile = work.resolve("app.yml")
+    java.nio.file.Files.write(cfgFile, yaml.getBytes("UTF-8"))
+    val c = GraftConfig.load(cfgFile.toString)
+    assert(c.schemas.size == 3)
+
+    // the table is created at the registry's OLDEST version…
+    val built = ConfigPipeline.build(spark, c)
+    val m0 = built.head.table.meta
+    assert(m0.schemaId == 0)
+    assert(m0.schema("turn_idx").dataType == IntegerType)
+    assert(!m0.schema.fieldNames.contains("lang"))
+
+    ConfigPipeline.runToCompletion(spark, c)
+
+    // …and the observed _schema_id watermark evolved it to v2 in-commit:
+    // add-column (lang) + type-widen (turn_idx int → bigint)
+    val t = LakeTable.load(spark, s"$work/t")
+    assert(t.meta.schemaId == 2, s"expected evolution to sid 2, got ${t.meta.schemaId}")
+    assert(t.meta.schema("turn_idx").dataType == LongType)
+    assert(t.meta.schema.fieldNames.contains("lang"))
+    assert(t.meta.schema.fieldNames.contains("speaker")) // rule rename survived
+
+    // final state == sequential oracle over the same decode + rule
+    val wire = spark.read.schema(Types.changeEventWireSchema).parquet(log)
+    val decoded = ChangelogCodec.decode(wire, c.schemas(2))
+    val routed = ConfigPipeline.routeTransform(decoded, c.routes.head)
+      .drop("_schema_id")
+    val expected = ReferenceOracle.expectedState(routed, Seq("conv_id", "turn_idx"))
+    val actual = ReferenceOracle.actualState(t.snapshot(), Seq("conv_id", "turn_idx"))
+    val (miss, extra, diff) = ReferenceOracle.diff(expected, actual)
+    assert(miss.isEmpty && extra.isEmpty && diff.isEmpty,
+      s"missing=${miss.take(3)} extra=${extra.take(3)} diff=${diff.take(3)}")
   }
 
   test("config parse: defaults, rules, ops, validation") {

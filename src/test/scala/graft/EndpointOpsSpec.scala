@@ -79,6 +79,57 @@ class EndpointOpsSpec extends SparkSpec {
         status.contains(""""lastOffset":2"""))
     } finally srv.stop()
   }
+
+  test("MetricsServer escapes hostile table names; scrape errors answer 500") {
+    val schema = StructType(Seq(StructField("k", StringType, nullable = false),
+      StructField("v", StringType)))
+    val dir = tmpDir("metrics-esc").resolve("t")
+    val t = LakeTable.create(spark, dir.toString, schema, Seq("k"), Seq("k"), 2)
+    val hostile = """tbl"with\backslash"""
+    val srv = new MetricsServer(Map(hostile -> t)).start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        try (code, new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+      val (pc, prom) = get("/metrics")
+      assert(pc == 200)
+      assert(prom.contains("""table="tbl\"with\\backslash""""), prom.linesIterator.next())
+      val (sc, status) = get("/status")
+      assert(sc == 200)
+      // the JSON must parse despite the quote/backslash in the name
+      val parsed = spark.read.json(Seq(status).toDS()).columns
+      assert(parsed.contains(hostile), parsed.mkString(","))
+      // a vanished table dir must answer 500, not hang the exchange
+      def rmAll(p: java.nio.file.Path): Unit = {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        finally s.close()
+      }
+      rmAll(dir)
+      val (ec, body) = get("/metrics")
+      assert(ec == 500, s"expected 500, got $ec: $body")
+    } finally srv.stop()
+  }
+
+  test("resolvePipelineId: atomic mint, corrupt/empty id file is an error") {
+    import graft.streaming.CdcPipeline.resolvePipelineId
+    val cp = tmpDir("pid").resolve("cp").toString
+    val id = resolvePipelineId(cp)
+    assert(id.matches("[0-9a-f-]{36}"))
+    assert(resolvePipelineId(cp) == id) // stable across restarts
+    // a crash mid-write leaves an empty/truncated file: that must FAIL
+    // loudly, not silently degrade to the epoch-only fence
+    val f = java.nio.file.Paths.get(cp).resolve("graft-pipeline-id")
+    java.nio.file.Files.write(f, Array.emptyByteArray)
+    intercept[IllegalArgumentException](resolvePipelineId(cp))
+    java.nio.file.Files.write(f, "not-a-uuid".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](resolvePipelineId(cp))
+  }
 }
 
 object EndpointOpsSpec {

@@ -154,6 +154,34 @@ class LakeTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(f))
   }
 
+  test("orphan grace keys on the commit dir's NEWEST mtime (slow live stage safe)") {
+    import java.nio.file.{Files => F}
+    val t = LakeTable.create(spark, tmpDir("lt-vac3").resolve("t").toString,
+      schema, Seq("k"), Seq("k"), 2)
+    MergeInto.merge(t, batch((OpInsert, 1L, "k1", "v1")), 0L)
+    // a LIVE in-flight stage: its first file started long ago (mtime old),
+    // but the stage is still writing (a sibling file is fresh)
+    val live = t.dataDir.resolve("live-stage").resolve("bkt=0").resolve("del=false")
+    F.createDirectories(live)
+    val early = live.resolve("part-0.parquet")
+    F.write(early, Array[Byte](1))
+    F.setLastModifiedTime(early,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    val recent = live.resolve("part-1.parquet")
+    F.write(recent, Array[Byte](2))
+    // a genuinely ABANDONED stage: every file old
+    val dead = t.dataDir.resolve("dead-stage").resolve("bkt=0").resolve("del=false")
+    F.createDirectories(dead)
+    val deadF = dead.resolve("part-0.parquet")
+    F.write(deadF, Array[Byte](3))
+    F.setLastModifiedTime(deadF,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
+    t.vacuum(keepVersions = 1, orphanGraceMs = 60000L)
+    assert(F.exists(early), "grace reaped an early file of a live in-flight stage")
+    assert(F.exists(recent))
+    assert(!F.exists(deadF), "abandoned stage survived the grace window")
+  }
+
   test("refresh survives another process's vacuum cutting its cached history") {
     val dir = tmpDir("lt-xvac").resolve("t").toString
     val t1 = LakeTable.create(spark, dir, schema, Seq("k"), Seq("k"), 2)

@@ -105,6 +105,23 @@ class PlanSpec extends SparkSpec {
     assert(joins.exists(_.children.flatMap(_.output).map(_.name).contains("shA")))
   }
 
+  test("ANN candidate distinct exchanges ids only — vectors re-joined once") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    for (df <- Seq(QueryCatalog.embAnnLsh(spark, sf), QueryCatalog.embAnnIvf(spark, sf))) {
+      val distincts = df.queryExecution.optimizedPlan.collect {
+        // the candidate dedup = grouping-only aggregate on (q_id, c_id)
+        case a: Aggregate if a.aggregateExpressions.size == a.groupingExpressions.size
+          && a.output.map(_.name).toSet == Set("q_id", "c_id") => a
+      }
+      assert(distincts.nonEmpty, "candidate distinct missing from the plan")
+      distincts.foreach { a =>
+        val carried = a.children.flatMap(_.output).map(_.name)
+        assert(!carried.exists(_.contains("vec")),
+          s"candidate distinct must not carry vector columns, got: $carried")
+      }
+    }
+  }
+
   test("hyperplane LSH expression stays O(1) in dim × bits (no tree blowup)") {
     import org.apache.spark.sql.graftbridge.Bridge
     def nodes(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

@@ -109,17 +109,71 @@ class RulesSpec extends SparkSpec {
     assert(ops.count(_.action == "A") == 1 && ops.count(_.action == "B") == 1)
   }
 
-  test("K11 changefeed message: keyed, raw image when reserve_raw_data") {
-    import graft.core.Types._
-    val decoded = Seq(("insert", 5L, "c1", 0)).toDF("_op", "_pos", "conv_id", "turn_idx")
+  test("K11/P12 changefeed raw = BEFORE image, updates only (kafka.go:216-218)") {
+    // one update (old text "OLD", new text "NEW") and one insert
+    val decoded = Seq(
+      ("update", 5L, "c1", 0, "NEW", "OLD"),
+      ("insert", 6L, "c2", 1, "FRESH", null))
+      .toDF("_op", "_pos", "conv_id", "turn_idx", "text", "_oldtext")
       .withColumn("_event_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("_before", when(col("_op") === "update",
+        struct(col("conv_id"), col("turn_idx"), col("_oldtext").as("text"))))
+      .drop("_oldtext")
     val msgs = ChangefeedOut.toMessages(decoded, Seq("conv_id", "turn_idx"),
-      reserveRawData = true).collect()
-    assert(msgs.head.getAs[String]("key") == "c1|0")
-    val v = msgs.head.getAs[String]("value")
-    assert(v.contains(""""action":"insert"""") && v.contains(""""raw""""))
+      reserveRawData = true).collect().sortBy(_.getAs[String]("key"))
+    val upd = msgs.head
+    assert(upd.getAs[String]("key") == "c1|0")
+    val uv = upd.getAs[String]("value")
+    // raw carries the OLD value; date carries the NEW one
+    assert(uv.contains(""""action":"update""""), uv)
+    assert(uv.contains(""""raw""""), uv)
+    assert(uv.matches(""".*"raw":\{[^}]*"text":"OLD".*"""), uv)
+    assert(uv.matches(""".*"date":\{[^}]*"text":"NEW".*"""), uv)
+    // inserts carry NO raw even with reserve_raw_data on
+    val iv = msgs(1).getAs[String]("value")
+    assert(iv.contains(""""action":"insert"""") && !iv.contains(""""raw""""), iv)
     val noRaw = ChangefeedOut.toMessages(decoded, Seq("conv_id"), reserveRawData = false)
       .collect().head.getAs[String]("value")
     assert(!noRaw.contains(""""raw""""))
+  }
+
+  test("P12 decodeWithBefore parses the old image for updates only") {
+    import graft.changelog.ChangelogCodec
+    import graft.core.Types
+    val wire = Seq(
+      (1L, 0L, "update", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1,
+        """{"conv_id":"c1","turn_idx":0,"role":"user","text":"OLD","ts":"2024-01-01 00:00:00"}""",
+        """{"conv_id":"c1","turn_idx":0,"role":"user","text":"NEW","ts":"2024-01-01 00:00:00"}"""),
+      (2L, 0L, "insert", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1,
+        null,
+        """{"conv_id":"c2","turn_idx":0,"role":"user","text":"X","ts":"2024-01-01 00:00:01"}"""))
+      .toDF("pos", "epoch_hint", "op", "ts", "schema_id", "before", "after")
+    val d = ChangelogCodec.decodeWithBefore(wire, Types.transcriptSchemas(1))
+      .orderBy("_pos").collect()
+    val updBefore = d(0).getAs[org.apache.spark.sql.Row]("_before")
+    assert(updBefore != null && updBefore.getAs[String]("text") == "OLD")
+    assert(d(0).getAs[String]("text") == "NEW") // row cols = AFTER image
+    assert(d(1).getAs[org.apache.spark.sql.Row]("_before") == null)
+  }
+
+  test("P12 applyToStruct mirrors the rule projection over the old image") {
+    import graft.rules.RulePipeline
+    val rule = Rule(
+      includeColumns = Seq("conv_id", "txt"),
+      columnMappings = Map("txt" -> "text"),
+      defaultColumns = Seq("src" -> "mysql"),
+      caseTransform = Some("upper"))
+    val df = Seq(("c1", "old", "new")).toDF("conv_id", "_oldtxt", "txt")
+      .withColumn("_before", struct(col("conv_id"), col("_oldtxt").as("txt")))
+    val shaped = df.select(RulePipeline.applyToStruct(
+      col("_before"), Seq("conv_id", "txt"), rule).as("raw"))
+    val row = shaped.collect().head.getAs[org.apache.spark.sql.Row]("raw")
+    assert(row.schema.fieldNames.toSeq == Seq("CONV_ID", "TEXT", "SRC"))
+    assert(row.getAs[String]("TEXT") == "old" && row.getAs[String]("SRC") == "mysql")
+    // null image stays null
+    val nulled = df.select(RulePipeline.applyToStruct(
+      lit(null).cast(df.schema("_before").dataType), Seq("conv_id", "txt"), rule).as("raw"))
+      .collect().head
+    assert(nulled.isNullAt(0))
   }
 }

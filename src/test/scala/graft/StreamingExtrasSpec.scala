@@ -47,6 +47,53 @@ class StreamingExtrasSpec extends SparkSpec {
     assert(tOther.snapshot().where(col("role") === "user").count() == 0)
   }
 
+  test("S6 dynamic: a table appearing after query start receives its events") {
+    import graft.streaming.DynamicRoutePipeline
+    val tmp = tmpDir("graft-dyn")
+    val log = s"$tmp/log"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log))
+    def chunk(n: Int, table: String, posBase: Long, count: Int): Unit = {
+      import spark.implicits._
+      val rows = (0 until count).map { i =>
+        val pos = posBase + i
+        (pos, n.toLong, "insert",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2, null: String,
+          s"""{"conv_id":"c$pos","turn_idx":0,"role":"user","text":"t$pos",""" +
+            s""""tool":"$table","ts":"2024-01-01 00:00:00"}""")
+      }
+      rows.toDF("pos", "epoch_hint", "op", "ts", "schema_id", "before", "after")
+        .coalesce(1).write.mode("append").parquet(log)
+    }
+    chunk(0, "tbl_a", 0, 500)
+    val d = DynamicRoutePipeline.Config("tool", "tbl_.*", s"$tmp/tables",
+      Seq("conv_id", "turn_idx"), Seq("conv_id"), 4)
+    val cfg = CdcPipeline.Config(log, s"$tmp/cp", maxFilesPerTrigger = 1,
+      triggerMs = 100)
+    val (q, state) = DynamicRoutePipeline.start(spark, d, cfg)
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (!state.tables.contains("tbl_a") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(state.tables.contains("tbl_a"), "route tbl_a never discovered")
+      assert(!state.tables.contains("tbl_b"))
+      // a NEW logical table starts emitting events AFTER the query started:
+      // the wildcard must pick it up without a restart
+      chunk(1, "tbl_b", 1000, 300)
+      def bCount() = state.tables.get("tbl_b").map(_.snapshot().count()).getOrElse(-1L)
+      while (bCount() != 300 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(bCount() == 300, s"tbl_b rows = ${bCount()}, want 300")
+    } finally { q.stop(); q.awaitTermination() }
+    assert(state.tables("tbl_a").snapshot().count() == 500)
+    // routed tables carry ONLY their route's rows
+    assert(state.tables("tbl_b").snapshot()
+      .where(col("tool") =!= "tbl_b").count() == 0)
+    // lone-* rejected, like the reference
+    intercept[IllegalArgumentException] {
+      DynamicRoutePipeline.applyBatch(spark, d.copy(pattern = "*"), state,
+        spark.read.schema(changeEventWireSchema).parquet(log), 99L, cfg)
+    }
+  }
+
   test("changefeed-out sink: one keyed message per change event, resume-safe") {
     val tmp = tmpDir("graft-feed")
     val log = s"$tmp/log"
