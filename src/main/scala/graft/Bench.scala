@@ -50,6 +50,9 @@ object Bench {
       // box and on real clusters whose NICs/disks are the analog bottleneck
       .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // readAligned passes explicit manifest file paths; driver-side stats
+      // beat a listing-job round-trip per snapshot read at this path count
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("GRAFT_TIMING")) {

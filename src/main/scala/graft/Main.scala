@@ -26,6 +26,7 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try dispatch(spark, args.toList)

@@ -65,15 +65,20 @@ object QueryCatalog {
       }
       val table = LakeTable.create(s, s"$tmp/table", tableSchema,
         keyCols = Seq("user_id", "slot"), bucketCols = Seq("user_id"), numBuckets = 16)
-      val maxPos = input.agg(max("_pos")).head().getLong(0)
+      def timed[T](tag: String)(f: => T): T =
+        if (!sys.env.contains("GRAFT_TIMING")) f else {
+          val t0 = System.nanoTime(); val r = f
+          System.err.println(f"[timing] q01-$tag ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
+        }
+      val maxPos = timed("cache+maxpos")(input.agg(max("_pos")).head().getLong(0))
       val nBatches = 8L
       val step = maxPos / nBatches + 1
-      (0L until nBatches).foreach { e =>
+      timed("merges")((0L until nBatches).foreach { e =>
         MergeInto.merge(table,
           input.where(col("_pos") >= e * step && col("_pos") < (e + 1) * step), e,
           rowsHint = step) // positions are dense: batch size ≈ step
-      }
-      table.snapshot().orderBy("user_id", "slot")
+      })
+      timed("snapshot-plan")(table.snapshot().orderBy("user_id", "slot"))
     } finally input.unpersist()
   }
 
@@ -622,8 +627,35 @@ object QueryCatalog {
       .orderBy("media_id")
   }
 
+  /** Frame sampling with a FULL DuckDB oracle: the media meta here derives
+    * from arithmetic DuckDB can recompute (doc_id mod for the type wheel,
+    * byte-length-based duration) instead of [[Multimodal.synthesizeMediaTable]]'s
+    * xxhash64 (which DuckDB lacks) — so the frame expansion itself
+    * (video filter → sequence → posexplode) is content-verified end to end,
+    * not rows-only.
+    */
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.synthesizeMediaTable(read(s, dir, "documents"), "doc_id", "text")
+    val media = read(s, dir, "documents").select(
+      col("doc_id").cast("long").as("media_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        lit("raw").as("format"),
+        lit(640).as("width"), lit(480).as("height"),
+        (octet_length(encode(col("text"), "utf-8")).cast("long") * 37L % 600000L)
+          .as("duration_ms")).as("meta"))
     Multimodal.sampleFrames(media).orderBy("media_id", "frame_idx")
   }
+
+  val mmFrameSampleSql: String =
+    """SELECT media_id, duration_ms,
+      |       CAST(ts // 10000 AS INTEGER) AS frame_idx, ts AS frame_ts_ms
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |         (octet_length(encode(text)) * 37) % 600000 AS duration_ms,
+      |         unnest(generate_series(0, (octet_length(encode(text)) * 37) % 600000, 10000)) AS ts
+      |  FROM documents WHERE doc_id % 3 = 2
+      |)
+      |ORDER BY media_id, frame_idx""".stripMargin
 }

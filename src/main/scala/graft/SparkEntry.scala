@@ -89,6 +89,7 @@ object SparkEntry {
     "q26_emb_neardup" -> embNearDupPairsSql,
     "q27_emb_ann_topk" -> embAnnTopKSql,
     "q30_mm_features" -> mmFeaturesSql,
+    "q32_mm_frames" -> mmFrameSampleSql,
     "q33_wildcard_tables" -> wildcardTablesSql,
     "q34_enum_set_bit" -> cdcEnumSetBitSql
   )

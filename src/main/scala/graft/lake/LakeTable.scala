@@ -249,7 +249,8 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
     }
     // group by (written schema, tombstone flag): each scan uses exactly the
     // schema its footers carry; the del flag re-attaches from the manifest
-    files.groupBy(f => (f.schemaId, f.del)).map { case ((sid, del), group) =>
+    val t0 = System.nanoTime()
+    val out = files.groupBy(f => (f.schemaId, f.del)).map { case ((sid, del), group) =>
       val stored = StructType(m.schemaFor(sid).fields ++
         Seq(StructField(PosCol, LongType), StructField(TsCol, TimestampType)))
       val storedNames = stored.fieldNames.toSet
@@ -260,6 +261,10 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
           else lit(null).cast(dt).as(n)
         } ++ Seq(col(PosCol), col(TsCol), lit(del).as(DelCol))): _*)
     }.reduce(_ unionAll _)
+    if (sys.env.contains("GRAFT_TIMING"))
+      System.err.println(f"[timing] readAligned(${files.size} files) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.3fs")
+    out
   }
 
   /** Lineage as a queryable DataFrame (C5 analog: the reference's web-admin

@@ -88,8 +88,17 @@ object MergeInto {
     // files per bucket; fanout only kicks in for very coarse tables
     math.max(1, (4 * cores + numBuckets - 1) / numBuckets)
   }
-  private def writeSalt(table: LakeTable, numBuckets: Int) =
-    pmod(xxhash64(col(table.PosCol)), lit(writeFanout(table, numBuckets)))
+  /** Salt MODULUS for a write of `width` partitions: the file count per
+    * commit is the number of distinct (bkt, salt, del) combos — NOT the
+    * partition count — so the salt must scale with the width actually
+    * chosen, or a small batch through a narrow exchange still shatters into
+    * buckets × fanout × 2 files (the round-2 q01 profile measured 196
+    * files/commit from exactly this: width 16, but salt modulus fixed at 8).
+    */
+  private def saltModulus(width: Int, numBuckets: Int): Int =
+    math.max(1, width / numBuckets)
+  private def writeSalt(table: LakeTable, width: Int, numBuckets: Int) =
+    pmod(xxhash64(col(table.PosCol)), lit(saltModulus(width, numBuckets)))
 
   /** Rows a single write task should own before fanning out further. */
   val TargetRowsPerWriteTask = 100000L
@@ -211,6 +220,7 @@ object MergeInto {
     // storage layout (batch schema; delete winners become tombstone rows —
     // key + pos, payload nulled — routed to separate del-files), shuffle by
     // bucket, write delta files.
+    val morWidth = writePartitions(table, m0.numBuckets, rowsHint)
     val obs = new Observation(s"merge-$epoch-${UUID.randomUUID().toString.take(6)}")
     val commitId = UUID.randomUUID().toString.take(12)
     val commitRel = s"data/$commitId"
@@ -240,8 +250,7 @@ object MergeInto {
         // fanned out with a salt so writer waves stay fine-grained relative
         // to the core count (wave quantization otherwise idles the tail);
         // a rowsHint shrinks the width for small batches (file-count hygiene)
-        .repartition(writePartitions(table, m0.numBuckets, rowsHint),
-          col("bkt"), writeSalt(table, m0.numBuckets))
+        .repartition(morWidth, col("bkt"), writeSalt(table, morWidth, m0.numBuckets))
         .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString)
     }
     val row = obs.get
@@ -451,9 +460,9 @@ object MergeInto {
     val commitRel = s"data/$commitId"
     // rows being rewritten are known from the manifest — size the exchange
     val totalRows = inputs.toSeq.map(_.rows).sum
+    val cWidth = writePartitions(table, m.numBuckets, totalRows)
     timed("compact-write")(resolved
-      .repartition(writePartitions(table, m.numBuckets, totalRows),
-        col("bkt"), writeSalt(table, m.numBuckets))
+      .repartition(cWidth, col("bkt"), writeSalt(table, cWidth, m.numBuckets))
       .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString))
     val newFiles = listCommitFiles(table, commitRel, m.schemaId, "base")
     // rebase: keep any delta files appended since `m` was resolved

@@ -137,73 +137,267 @@ object RulePipeline {
     case other => throw new IllegalArgumentException(s"unknown value encoder: $other")
   }
 
-  /** P8: compile a Go-text/template subset into a Column — substitution
-    * `{{.COL}}` (the form the reference's configs actually use for keys and
-    * values: global/rule.go:219-226, service/endpoint/redis.go:276-284)
-    * plus nested conditionals `{{if .COL}}…{{else}}…{{end}}` with Go's
-    * truthiness for our value domain (non-null, non-empty string). Compiled
-    * once into `concat`/`when` expressions — codegen'd per row, no template
-    * engine in the hot path.
+  /** P8: compile a Go-text/template subset into a Column. The reference
+    * accepts ANY text/template over the row map (global/rule.go:219-226;
+    * used for keys and values, service/endpoint/redis.go:276-284); this
+    * covers the surface real configs use, all compiled ONCE into
+    * concat/when/HOF expressions — codegen'd per row, no template engine in
+    * the hot path:
+    *
+    *   - `{{.COL}}` and nested paths `{{.a.b}}` (null → empty string)
+    *   - `{{if P}}…{{else}}…{{end}}`, nested; field truthiness = non-null,
+    *     non-empty-string (our value domain); comparison/logic pipelines
+    *     evaluate as real booleans
+    *   - `{{range .ARR}}…{{end}}` over ARRAY columns, `{{.}}` = element,
+    *     `{{.f}}` = element field, `{{$.COL}}` = outer row, optional
+    *     `{{range $i, $e := .ARR}}` bindings and an `{{else}}` branch for
+    *     null/empty arrays — compiled to `transform()` + `array_join()`,
+    *     fully distributed, no UDF
+    *   - variables `{{$x := P}}` … `{{$x}}` (block-scoped, as in Go)
+    *   - functions `and or not eq ne lt le gt ge len index printf` and
+    *     pipelines `{{P | printf "%s!"}}` (piped value appended as last arg);
+    *     `eq` accepts 2+ args (true if first equals any); printf maps Go's
+    *     `%v` to `%s`
+    *   - literals: `"s"` (with escapes), `` `raw` ``, integers, floats,
+    *     true/false
+    *
+    * Divergences from Go, documented: `and`/`or` return booleans (not the
+    * first truthy/falsy operand) and `len` measures the string form.
     */
   def template(tmpl: String): Column = {
+    // ---------------- lex: literal text vs {{action}} ----------------
     sealed trait Tok
     final case class Text(s: String) extends Tok
-    final case class Field(name: String) extends Tok
-    final case class If(name: String) extends Tok
-    case object Else extends Tok
-    case object End extends Tok
-
-    val action = raw"\{\{\s*([^}]*?)\s*\}\}".r
-    val field = raw"\.([A-Za-z0-9_]+)".r
-    val ifTok = raw"if\s+\.([A-Za-z0-9_]+)".r
+    final case class Act(words: List[String]) extends Tok
+    val action = raw"\{\{([\s\S]*?)\}\}".r
     val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var last = 0
     action.findAllMatchIn(tmpl).foreach { m =>
       if (m.start > last) toks += Text(tmpl.substring(last, m.start))
-      m.group(1) match {
-        case field(n) => toks += Field(n)
-        case ifTok(n) => toks += If(n)
-        case "else"   => toks += Else
-        case "end"    => toks += End
-        case other => throw new IllegalArgumentException(
-          s"unsupported template action: {{$other}}")
-      }
+      toks += Act(lexAction(m.group(1).trim))
       last = m.end
     }
     if (last < tmpl.length) toks += Text(tmpl.substring(last))
 
-    val it = toks.iterator.buffered
-    def truthy(n: String): Column = {
-      val c = col(n)
-      c.isNotNull && (c.cast("string") =!= "")
+    // ---------------- compile ----------------
+    // `dot` = the current element inside {{range}}; None at top level where
+    // field paths resolve against the row's columns.
+    final case class Ctx(dot: Option[Column], vars: Map[String, TVal])
+    val numRe = raw"-?\d+(\.\d+)?".r
+    val fns = Set("and", "or", "not", "eq", "ne", "lt", "le", "gt", "ge",
+      "len", "index", "printf")
+
+    def fieldPath(word: String, ctx: Ctx): TVal = {
+      val parts = word.split('.').filter(_.nonEmpty).toList
+      ctx.dot match {
+        case Some(d) => TVal(parts.foldLeft(d)(_ getField _))
+        case None =>
+          require(parts.nonEmpty, "{{.}} is only meaningful inside {{range}}")
+          TVal(parts.tail.foldLeft(col(parts.head))(_ getField _))
+      }
     }
-    // parse a token sequence until one of `until` (consumed by the caller)
-    def parseSeq(inBranch: Boolean): Column = {
+    def varRef(word: String, ctx: Ctx): TVal = {
+      val body = word.drop(1) // strip '$'
+      if (body.startsWith(".") || body.isEmpty) {
+        // `$` / `$.COL` = the top-level row, reachable from inside range
+        val parts = body.split('.').filter(_.nonEmpty).toList
+        require(parts.nonEmpty, "bare {{$}} is unsupported (row has no single value)")
+        TVal(parts.tail.foldLeft(col(parts.head))(_ getField _))
+      } else {
+        val (name, path) = body.span(_ != '.')
+        val v = ctx.vars.getOrElse(name, throw new IllegalArgumentException(
+          s"undefined template variable $$$name"))
+        TVal(path.split('.').filter(_.nonEmpty).foldLeft(v.c)(_ getField _), v.bool)
+      }
+    }
+    // one operand; cur positioned at it
+    def parseOperand(words: List[String], ctx: Ctx): (TVal, List[String]) =
+      words match {
+        case "(" :: rest =>
+          val (v, r2) = parsePipe(rest, ctx)
+          r2 match {
+            case ")" :: r3 => (v, r3)
+            case _ => throw new IllegalArgumentException("unbalanced ( in template")
+          }
+        case w :: rest if w.startsWith("\"") => (TVal(lit(w.drop(1)), lit0 = Some(w.drop(1))), rest)
+        case w :: rest if w.startsWith(".") => (fieldPath(w, ctx), rest)
+        case w :: rest if w.startsWith("$") => (varRef(w, ctx), rest)
+        case "true" :: rest => (TVal(lit(true), bool = true), rest)
+        case "false" :: rest => (TVal(lit(false), bool = true), rest)
+        case w :: rest if numRe.pattern.matcher(w).matches() =>
+          (if (w.contains('.')) TVal(lit(w.toDouble)) else TVal(lit(w.toLong)), rest)
+        case w => throw new IllegalArgumentException(
+          s"unsupported template operand: ${w.headOption.getOrElse("<eof>")}")
+      }
+    def call(fn: String, args: Seq[TVal]): TVal = {
+      def a = args.head.c; def b = args(1).c
+      fn match {
+        case "eq" => TVal(args.tail.map(x => a === x.c).reduce(_ || _), bool = true)
+        case "ne" => TVal(a =!= b, bool = true)
+        case "lt" => TVal(a < b, bool = true)
+        case "le" => TVal(a <= b, bool = true)
+        case "gt" => TVal(a > b, bool = true)
+        case "ge" => TVal(a >= b, bool = true)
+        case "and" => TVal(args.map(truthy).reduce(_ && _), bool = true)
+        case "or" => TVal(args.map(truthy).reduce(_ || _), bool = true)
+        case "not" => TVal(!truthy(args.head), bool = true)
+        case "len" => TVal(length(a.cast("string")))
+        // Go is 0-based; try_ variant: out-of-range → null → "" (ANSI
+        // element_at would throw, and a template must not kill the batch)
+        case "index" => TVal(try_element_at(a, (b + lit(1)).cast("int")))
+        case "printf" =>
+          val fmt = args.head.lit0.getOrElse(throw new IllegalArgumentException(
+            "printf needs a literal format string"))
+          TVal(format_string(fmt.replace("%v", "%s"), args.tail.map(_.c): _*))
+        case other => throw new IllegalArgumentException(
+          s"unsupported template function: $other")
+      }
+    }
+    // one command: `fn arg arg…` or a single operand
+    def parseCmd(words: List[String], ctx: Ctx, piped: Option[TVal]): (TVal, List[String]) =
+      words match {
+        case fn :: rest if fns(fn) =>
+          var cur = rest
+          val args = scala.collection.mutable.ArrayBuffer.empty[TVal]
+          while (cur.nonEmpty && cur.head != "|" && cur.head != ")") {
+            val (v, r2) = parseOperand(if (cur.head == ",") cur.tail else cur, ctx)
+            args += v; cur = r2
+          }
+          piped.foreach(args += _)
+          require(args.nonEmpty, s"template function $fn needs arguments")
+          (call(fn, args.toSeq), cur)
+        case _ =>
+          require(piped.isEmpty, "cannot pipe into a non-function operand")
+          parseOperand(words, ctx)
+      }
+    // pipeline: cmd | cmd | … (piped value appended as the last argument)
+    def parsePipe(words: List[String], ctx: Ctx): (TVal, List[String]) = {
+      var (v, cur) = parseCmd(words, ctx, None)
+      while (cur.headOption.contains("|")) {
+        val (v2, r2) = parseCmd(cur.tail, ctx, Some(v))
+        v = v2; cur = r2
+      }
+      (v, cur)
+    }
+    def pipeAll(words: List[String], ctx: Ctx): TVal = {
+      val (v, rest) = parsePipe(words, ctx)
+      require(rest.isEmpty, s"dangling tokens in template action: $rest")
+      v
+    }
+
+    val it = toks.iterator.buffered
+    def atKeyword(k: String): Boolean = it.hasNext && (it.head match {
+      case Act(List(`k`)) => true
+      case _ => false
+    })
+    // parse tokens until {{else}}/{{end}} (left unconsumed for the caller)
+    def parseSeq(ctx0: Ctx, inBlock: Boolean): Column = {
+      val vars = scala.collection.mutable.Map(ctx0.vars.toSeq: _*)
+      def ctx = Ctx(ctx0.dot, vars.toMap)
       val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
       var done = false
       while (it.hasNext && !done) {
         it.head match {
-          case Else | End if inBranch => done = true
+          case Act(List("else")) | Act(List("end")) if inBlock => done = true
+          case Act(List("else")) | Act(List("end")) =>
+            throw new IllegalArgumentException("unexpected {{else}}/{{end}}")
           case _ => it.next() match {
-            case Text(s)  => pieces += lit(s)
-            case Field(n) => pieces += coalesce(col(n).cast("string"), lit(""))
-            case If(n) =>
-              val thenC = parseSeq(inBranch = true)
+            case Text(s) => pieces += lit(s)
+            case Act("if" :: cond) =>
+              val c = truthy(pipeAll(cond, ctx))
+              val thenC = parseSeq(ctx, inBlock = true)
               val elseC =
-                if (it.hasNext && it.head == Else) { it.next(); parseSeq(inBranch = true) }
+                if (atKeyword("else")) { it.next(); parseSeq(ctx, inBlock = true) }
                 else lit("")
-              require(it.hasNext && it.next() == End, s"unterminated {{if .$n}}")
-              pieces += when(truthy(n), thenC).otherwise(elseC)
-            case Else | End =>
-              throw new IllegalArgumentException("unexpected {{else}}/{{end}}")
+              require(atKeyword("end"), "unterminated {{if}}")
+              it.next()
+              pieces += when(c, thenC).otherwise(elseC)
+            case Act("range" :: rest) =>
+              val (bind, pipeWords) = rest match {
+                case i :: "," :: e :: ":=" :: tail
+                  if i.startsWith("$") && e.startsWith("$") => (Seq(i, e), tail)
+                case e :: ":=" :: tail if e.startsWith("$") => (Seq(e), tail)
+                case tail => (Seq.empty[String], tail)
+              }
+              val arr = pipeAll(pipeWords, ctx).c
+              val joined = array_join(transform(arr, (x, i) => {
+                val bound = bind match {
+                  case Seq(e) => Map(e.drop(1) -> TVal(x))
+                  case Seq(iv, e) => Map(iv.drop(1) -> TVal(i), e.drop(1) -> TVal(x))
+                  case _ => Map.empty[String, TVal]
+                }
+                parseSeq(Ctx(Some(x), ctx.vars ++ bound), inBlock = true)
+              }), "")
+              val elseC =
+                if (atKeyword("else")) { it.next(); parseSeq(ctx, inBlock = true) }
+                else lit("")
+              require(atKeyword("end"), "unterminated {{range}}")
+              it.next()
+              pieces += when(arr.isNotNull && size(arr) > 0, joined).otherwise(elseC)
+            case Act(v :: ":=" :: rhs) if v.startsWith("$") && v.length > 1 =>
+              vars(v.drop(1)) = pipeAll(rhs, ctx)
+            case Act(words) =>
+              pieces += render(pipeAll(words, ctx))
           }
         }
       }
       if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
     }
-    val out = parseSeq(inBranch = false)
+    val out = parseSeq(Ctx(None, Map.empty), inBlock = false)
     require(!it.hasNext, "dangling template tokens")
     out
+  }
+
+  /** A compiled template value: the column, whether it is a real boolean
+    * (comparison/logic result), and the literal string if statically known
+    * (printf format strings).
+    */
+  private final case class TVal(c: Column, bool: Boolean = false,
+      lit0: Option[String] = None)
+  private def render(v: TVal): Column = coalesce(v.c.cast("string"), lit(""))
+  private def truthy(v: TVal): Column =
+    if (v.bool) coalesce(v.c, lit(false))
+    else v.c.isNotNull && (v.c.cast("string") =!= "")
+
+  /** Tokenize one `{{…}}` action body: strings (quoted/raw), punctuation
+    * `( ) , | :=`, and bare words (fields, vars, numbers, function names).
+    */
+  private def lexAction(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case c if c.isWhitespace => i += 1
+        case '"' =>
+          val sb = new StringBuilder("\"") // marker prefix: lexed string literal
+          i += 1
+          while (i < s.length && s(i) != '"') {
+            if (s(i) == '\\' && i + 1 < s.length) {
+              sb += (s(i + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case other => other
+              })
+              i += 2
+            } else { sb += s(i); i += 1 }
+          }
+          require(i < s.length, s"unterminated string in {{$s}}")
+          i += 1; out += sb.result()
+        case '`' =>
+          val j = s.indexOf('`', i + 1)
+          require(j > 0, s"unterminated raw string in {{$s}}")
+          out += "\"" + s.substring(i + 1, j); i = j + 1
+        case '(' => out += "("; i += 1
+        case ')' => out += ")"; i += 1
+        case '|' => out += "|"; i += 1
+        case ',' => out += ","; i += 1
+        case ':' if i + 1 < s.length && s(i + 1) == '=' => out += ":="; i += 2
+        case _ =>
+          val j0 = i
+          while (i < s.length && !s(i).isWhitespace && !"(),|".contains(s(i)) &&
+            !(s(i) == ':' && i + 1 < s.length && s(i + 1) == '=')) i += 1
+          out += s.substring(j0, i)
+      }
+    }
+    out.toList
   }
 
   /** P10 sink-key derivation. */

@@ -173,7 +173,17 @@ class FunctionsSpec extends SparkSpec {
     assert(f0.feature.toSeq == f1.feature.toSeq) // same payload ⇒ same fake features
     assert(f0.feature.length == 8)
     val frames = Multimodal.sampleFrames(media, everyMs = 60000L)
-    val counts = frames.groupBy("media_id").count().collect()
-    assert(counts.forall(_.getLong(1) >= 1)) // duration/60s + 1 frames per video
+    // exact content: for every video, frames are 0, 60000, ... ≤ duration,
+    // indexed densely from 0 — recomputed independently from the meta
+    val durations = media.where($"meta.media_type" === "video")
+      .select($"media_id", $"meta.duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durations.nonEmpty)
+    val got = frames.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    val expected = durations.flatMap { case (id, dur) =>
+      (0L to dur by 60000L).zipWithIndex.map { case (ts, i) => (id, i) -> (dur, ts) }
+    }
+    assert(got == expected)
   }
 }

@@ -22,7 +22,60 @@ class RulesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.rules.RulePipeline.template("{{if .t}}oops"))
     intercept[IllegalArgumentException](
-      graft.rules.RulePipeline.template("{{range .t}}x{{end}}"))
+      graft.rules.RulePipeline.template("{{frobnicate .t}}"))
+  }
+
+  test("P8 template functions: eq/ne/and/or/not, printf, len, index, pipes") {
+    import spark.implicits._
+    val df = Seq(("a", "A", 3L, "x"), ("b", "B", 0L, ""), ("c", "A", 7L, null))
+      .toDF("k", "grp", "n", "s")
+    def run(tmpl: String): Map[String, String] =
+      df.select($"k", graft.rules.RulePipeline.template(tmpl).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run("""{{if eq .grp "A"}}hit{{else}}miss{{end}}""") ==
+      Map("a" -> "hit", "b" -> "miss", "c" -> "hit"))
+    assert(run("""{{if and (eq .grp "A") (gt .n 5)}}big-A{{else}}no{{end}}""") ==
+      Map("a" -> "no", "b" -> "no", "c" -> "big-A"))
+    assert(run("""{{if or (eq .k "b") (not .s)}}y{{else}}n{{end}}""") ==
+      Map("a" -> "n", "b" -> "y", "c" -> "y"))
+    assert(run("""{{printf "%s/%d" .grp .n}}""") ==
+      Map("a" -> "A/3", "b" -> "B/0", "c" -> "A/7"))
+    assert(run("""{{.grp | printf "g=%v"}}""") ==
+      Map("a" -> "g=A", "b" -> "g=B", "c" -> "g=A"))
+    assert(run("""{{len .k}}{{len .s}}""") ==
+      Map("a" -> "11", "b" -> "10", "c" -> "1")) // null s → len renders ""
+    assert(run("""{{ne .n 0}}""") ==
+      Map("a" -> "true", "b" -> "false", "c" -> "true"))
+  }
+
+  test("P8 template variables and {{range}} over array columns (HOF-compiled)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq("x", "y", "z")),
+      ("b", Seq.empty[String]),
+      ("c", null.asInstanceOf[Seq[String]])).toDF("k", "tags")
+    def run(tmpl: String): Map[String, String] =
+      df.select($"k", graft.rules.RulePipeline.template(tmpl).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run("{{range .tags}}[{{.}}]{{end}}") ==
+      Map("a" -> "[x][y][z]", "b" -> "", "c" -> ""))
+    assert(run("{{range .tags}}{{.}},{{else}}none{{end}}") ==
+      Map("a" -> "x,y,z,", "b" -> "none", "c" -> "none"))
+    assert(run("{{range $i, $e := .tags}}{{$i}}={{$e}};{{end}}") ==
+      Map("a" -> "0=x;1=y;2=z;", "b" -> "", "c" -> ""))
+    // $.COL reaches the outer row from inside range; index is 0-based
+    assert(run("{{range .tags}}{{$.k}}:{{.}} {{end}}") ==
+      Map("a" -> "a:x a:y a:z ", "b" -> "", "c" -> ""))
+    assert(run("{{index .tags 1}}") == Map("a" -> "y", "b" -> "", "c" -> ""))
+    // variables: assigned once, reused; block-scoped like Go
+    assert(run("""{{$x := .k}}{{$x}}-{{$x}}""") ==
+      Map("a" -> "a-a", "b" -> "b-b", "c" -> "c-c"))
+    assert(run("""{{$p := printf "%s!" .k}}<{{$p}}>""") ==
+      Map("a" -> "<a!>", "b" -> "<b!>", "c" -> "<c!>"))
+    intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{$nope}}"))
+    intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{range .tags}}x"))
   }
   import spark.implicits._
 
