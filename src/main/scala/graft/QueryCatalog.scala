@@ -252,10 +252,13 @@ object QueryCatalog {
        |  event_id AS pos
        |FROM events ORDER BY pos""".stripMargin
 
-  /** Full MQ JSON message shape (reserve_raw_data on) — JSON text differs
-    * across engines, so rows-only. `raw` carries the BEFORE image and only on
-    * updates (reference: service/endpoint/kafka.go:216-218); the synthetic
-    * before image here is the deterministic "previous" row (value - 1).
+  /** Full MQ JSON message shape (reserve_raw_data on). `raw` carries the
+    * BEFORE image and only on updates (reference:
+    * service/endpoint/kafka.go:216-218); the synthetic before image here is
+    * the deterministic "previous" row (value - 1). The oracle reconstructs
+    * the exact JSON text: both engines print shortest-round-trip doubles and
+    * standard JSON string escapes, and Spark's to_json omits the null `raw`,
+    * mirrored by the oracle's CASE.
     */
   def cdcChangefeedJson(s: SparkSession, dir: String): DataFrame = {
     val base = eventsAsChanges(s, dir).drop("ts")
@@ -266,6 +269,22 @@ object QueryCatalog {
     ChangefeedOut.toMessages(withBefore, Seq("user_id", "slot"),
       reserveRawData = true)
   }
+
+  val cdcChangefeedJsonSql: String =
+    s"""WITH c AS (
+       |  SELECT $changeOpSql AS action,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       |         user_id, CAST(event_id % 40 AS INT) AS slot, event_type, value
+       |  FROM events)
+       |SELECT CAST(user_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR) AS key,
+       |       '{"action":"' || action || '","timestamp":' || tsec ||
+       |       CASE WHEN action = 'update' THEN
+       |         ',"raw":{"user_id":' || user_id || ',"slot":' || slot ||
+       |         ',"event_type":' || to_json(event_type) || ',"value":' || to_json(value - 1.0) || '}'
+       |       ELSE '' END ||
+       |       ',"date":{"user_id":' || user_id || ',"slot":' || slot ||
+       |       ',"event_type":' || to_json(event_type) || ',"value":' || to_json(value) || '}}' AS value
+       |FROM c""".stripMargin
 
   /** §2.7 script/UDTF surface: a typed flatMap emitting 0..n sink ops per
     * event — the Lua-script analog (delete→DEL; click/view→SET+ZADD;
@@ -658,4 +677,42 @@ object QueryCatalog {
       |  FROM documents WHERE doc_id % 3 = 2
       |)
       |ORDER BY media_id, frame_idx""".stripMargin
+
+  // --------------------------------------------- stateful streaming surface
+
+  /** Watermarked windowed throughput (batch twin of the streaming plan —
+    * StreamingExtrasSpec runs the readStream variant of the same call).
+    */
+  def windowedRate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.windowedRate(read(s, dir, "events"), "ts", "event_type")
+      .orderBy("window_start", "event_type")
+
+  val windowedRateSql: String =
+    """SELECT date_trunc('minute', ts) AS window_start, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30 min of silence closes a session), keyed
+    * by user. Batch plan = window functions; the flatMapGroupsWithState
+    * streaming twin is asserted equal in StreamingExtrasSpec.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize.sessions(read(s, dir, "events"), "user_id", "ts", gapSec = 1800L)
+      .orderBy("user_id", "session_start")
+
+  val sessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), y AS (
+      |  SELECT user_id, ts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      |  FROM x
+      |)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM y GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
 }

@@ -60,7 +60,10 @@ object SparkEntry {
     // S6 wildcard table expansion
     "q33_wildcard_tables" -> (wildcardTables(_, _)),
     // P5 completion: ENUM/SET/BIT decode
-    "q34_enum_set_bit" -> (cdcEnumSetBit(_, _))
+    "q34_enum_set_bit" -> (cdcEnumSetBit(_, _)),
+    // stateful streaming surface (batch twins; streamed in StreamingExtrasSpec)
+    "q35_windowed_rate" -> (windowedRate(_, _)),
+    "q36_sessionize" -> (sessionize(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -75,6 +78,7 @@ object SparkEntry {
     "q09_date_format" -> cdcDateFormatSql,
     "q10_type_cast" -> cdcTypeCastSql,
     "q11_changefeed" -> cdcChangefeedSql,
+    "q12_changefeed_json" -> cdcChangefeedJsonSql,
     "q13_script_transform" -> cdcScriptTransformSql,
     "q14_metrics" -> cdcMetricsSql,
     "q15_snapshot_reconcile" -> cdcSnapshotReconcileSql,
@@ -91,6 +95,8 @@ object SparkEntry {
     "q30_mm_features" -> mmFeaturesSql,
     "q32_mm_frames" -> mmFrameSampleSql,
     "q33_wildcard_tables" -> wildcardTablesSql,
-    "q34_enum_set_bit" -> cdcEnumSetBitSql
+    "q34_enum_set_bit" -> cdcEnumSetBitSql,
+    "q35_windowed_rate" -> windowedRateSql,
+    "q36_sessionize" -> sessionizeSql
   )
 }

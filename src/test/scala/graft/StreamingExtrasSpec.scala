@@ -158,4 +158,80 @@ class StreamingExtrasSpec extends SparkSpec {
       .groupByKey(identity).count().collect()
     assert(opsPerConv.map(_._2).sum == 2000)
   }
+
+  // ------------------------------------------------ stateful streaming ops
+
+  private def mkTs(baseMs: Long, offUs: Long): java.sql.Timestamp = {
+    val us = baseMs * 1000L + offUs
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
+  test("sessionize: flatMapGroupsWithState stream == window-function batch, µs-exact gap") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def ev(k: String, offSec: Double) =
+      Sessionize.KeyedEvent(k, mkTs(t0, (offSec * 1000000L).toLong))
+    // gap = 60 s; c tests the exact-threshold edge: 60 s merges, 60 s + 1 µs splits
+    val batch1 = Seq(ev("a", 0), ev("a", 30), ev("b", 10), ev("c", 0))
+    val batch2 = Seq(ev("a", 95), ev("a", 100), ev("c", 60), ev("c", 120.000001))
+    val batch3 = Seq(ev("z", 7200)) // sentinel: pushes the watermark past all timeouts
+    val all = batch1 ++ batch2 ++ batch3
+
+    val ms = MemoryStream[Sessionize.KeyedEvent]
+    val streamed = Sessionize.streamingSessions(
+      ms.toDS().withWatermark("ts", "0 seconds"), gapSec = 60L)
+    val q = streamed.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("sess").as[Sessionize.Session].collect()
+      .filter(_.key != "z").map(s => (s.key, s.session_start, s.session_end, s.n_events))
+      .toSet
+
+    val batchDf = Sessionize.sessions(
+      all.toDF("key", "ts").where($"key" =!= "z"), "key", "ts", gapSec = 60L)
+    val exp = batchDf.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(exp == got, s"batch=$exp stream=$got")
+    // the semantics themselves: a splits at 65 s gap, c merges at exactly 60 s
+    // and splits at 60 s + 1 µs
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "c") == 2)
+    assert(got.exists(s => s._1 == "c" && s._4 == 2L))
+  }
+
+  test("windowed rate: watermarked streaming agg == batch twin") {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    val data = Seq(
+      (mkTs(t0, 0), "click"), (mkTs(t0, 30L * 1000000), "click"),
+      (mkTs(t0, 59L * 1000000), "view"), (mkTs(t0, 61L * 1000000), "click"),
+      (mkTs(t0, 150L * 1000000), "view"))
+    val sentinel = (mkTs(t0, 7200L * 1000000), "zz")
+
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val streamDf = Sessionize.windowedRate(
+      ms.toDF().toDF("ts", "event_type"), "ts", "event_type", "1 minute", "0 seconds")
+    val q = streamDf.writeStream.format("memory").queryName("rate")
+      .outputMode("append").start()
+    try {
+      ms.addData(data); q.processAllAvailable()
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rate").where($"event_type" =!= "zz").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val exp = Sessionize.windowedRate(
+      data.toDF("ts", "event_type"), "ts", "event_type", "1 minute").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(exp == got, s"batch=$exp stream=$got")
+    assert(exp.size == 4) // (min0: click×2, view×1), (min1: click×1), (min2: view×1)
+  }
 }
