@@ -15,11 +15,17 @@ run() {
   env SPARK_DRIVER_MEM=48g SPARK_GRAFT_BENCH_LEVELS="$levels" \
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 $extra \
     sbt -batch "runMain graft.Bench" > "/tmp/bench_$tag.log" 2>&1
-  grep -h '^{"metric"' "/tmp/bench_$tag.log" | tail -1 > "bench/$tag.json"
+  # sbt prefixes stdout with "[info] " — strip it before saving the artifact
+  grep -h '"metric"' "/tmp/bench_$tag.log" | sed 's/^\[info\] //' | tail -1 > "bench/$tag.json"
   cat "bench/$tag.json"
 }
-run "2,8"  r3_run1_full_2-8        ""
-run "4,16" r3_run2_replay_4-16     "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
-run "2,8"  r3_run3_replay_2-8      "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
-run "2,8"  r3_run4_replay_2-8      "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+if [ $# -gt 0 ]; then
+  # single run: run_campaign.sh <levels> <tag> [extra-env]
+  run "$1" "$2" "${3:-}"
+else
+  run "2,8"  r3_run1_full_2-8        ""
+  run "4,16" r3_run2_replay_4-16     "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+  run "2,8"  r3_run3_replay_2-8      "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+  run "2,8"  r3_run4_replay_2-8      "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+fi
 echo "campaign done $(date -u +%H:%M:%S)"

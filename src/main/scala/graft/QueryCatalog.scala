@@ -258,7 +258,11 @@ object QueryCatalog {
     * the deterministic "previous" row (value - 1). The oracle reconstructs
     * the exact JSON text: both engines print shortest-round-trip doubles and
     * standard JSON string escapes, and Spark's to_json omits the null `raw`,
-    * mirrored by the oracle's CASE.
+    * mirrored by the oracle's CASE. Domain caveat: Java and DuckDB switch to
+    * scientific notation at different magnitudes, so digit-for-digit parity
+    * holds for |value| in [1e-3, 1e7) — the events data (2-decimal values in
+    * [0.01, 500)) sits squarely inside; a regenerated dataset leaving that
+    * range would need the oracle to format via printf instead.
     */
   def cdcChangefeedJson(s: SparkSession, dir: String): DataFrame = {
     val base = eventsAsChanges(s, dir).drop("ts")

@@ -19,7 +19,14 @@ import org.apache.spark.sql.types.StructType
 object ChangelogCodec {
   import Types._
 
+  /** The canonical meta-column inventory: every non-payload column a decode
+    * can attach. Downstream "which columns are the row image?" filters must
+    * derive from these two (EventTransform, ConfigPipeline) — a third
+    * hand-written list is how a new meta column leaks into a sink payload.
+    */
+  val BeforeCol = "_before"
   val MetaCols: Seq[String] = Seq("_op", "_pos", "_event_ts", "_schema_id")
+  val MetaColsWithBefore: Seq[String] = MetaCols :+ BeforeCol
 
   /** Decode against the NEWEST known schema (a superset of all older ones —
     * missing columns parse to null, widened types parse wide), carrying the

@@ -49,7 +49,8 @@ object EventTransform {
   */
 object ChangefeedOut {
   /** Columns that are message metadata, not row payload. */
-  private val MetaCols = Set("_op", "_pos", "_event_ts", "_schema_id", "_before")
+  private val MetaCols =
+    graft.changelog.ChangelogCodec.MetaColsWithBefore.toSet
 
   /** Shape decoded change rows into (key, value) MQ messages. With
     * `reserveRawData`, `raw` is the BEFORE image and is emitted ONLY for

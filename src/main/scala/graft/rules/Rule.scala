@@ -230,6 +230,16 @@ object RulePipeline {
           s"unsupported template operand: ${w.headOption.getOrElse("<eof>")}")
       }
     def call(fn: String, args: Seq[TVal]): TVal = {
+      val arity: (Int, Int) = fn match { // min, max (-1 = unbounded)
+        case "not" | "len" => (1, 1)
+        case "ne" | "lt" | "le" | "gt" | "ge" | "index" => (2, 2)
+        case "eq" | "and" | "or" => (2, -1)
+        case "printf" => (1, -1)
+        case _ => (1, -1)
+      }
+      require(args.size >= arity._1 && (arity._2 < 0 || args.size <= arity._2),
+        s"template function $fn expects ${arity._1}${if (arity._2 != arity._1) "+" else ""} " +
+          s"argument(s), got ${args.size}")
       def a = args.head.c; def b = args(1).c
       fn match {
         case "eq" => TVal(args.tail.map(x => a === x.c).reduce(_ || _), bool = true)

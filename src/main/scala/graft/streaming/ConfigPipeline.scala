@@ -89,7 +89,7 @@ object ConfigPipeline {
   def routeTransform(decoded: DataFrame, r: RouteConf): DataFrame = {
     val hasBefore = decoded.columns.contains("_before")
     val preserve =
-      if (hasBefore) ChangelogCodec.MetaCols :+ "_before" else ChangelogCodec.MetaCols
+      if (hasBefore) ChangelogCodec.MetaColsWithBefore else ChangelogCodec.MetaCols
     val out = RulePipeline(decoded.where(expr(r.filter)), r.rule, preserve = preserve)
     if (!hasBefore) out
     else if (r.target != "lake" && r.reserveRawData) {
@@ -130,7 +130,20 @@ object ConfigPipeline {
             // exactly-once: one partition dir per epoch, OVERWRITTEN on
             // replay — a crash between this write and the checkpoint save
             // re-runs the batch into the same dir instead of appending
-            // duplicates (the foreachBatch analog of the lake routes' fence)
+            // duplicates (the foreachBatch analog of the lake routes' fence).
+            // A feed dir written by the old flat-append layout would leave
+            // parquet mixed with partition dirs — unreadable by any
+            // partition-discovering reader — so fail fast with a pointer
+            // instead of corrupting the feed.
+            val outRoot = java.nio.file.Paths.get(b.conf.outDir)
+            if (java.nio.file.Files.isDirectory(outRoot)) {
+              val flat = java.nio.file.Files.list(outRoot)
+              try require(!flat.anyMatch(p =>
+                p.getFileName.toString.startsWith("part-")),
+                s"changefeed outDir ${b.conf.outDir} holds flat pre-epoch " +
+                  "output; move it aside or point the route at a fresh dir")
+              finally flat.close()
+            }
             out.write.mode("overwrite").parquet(s"${b.conf.outDir}/epoch=$epoch")
             MergeResult(epoch, skipped = false, 0, 0, 0, 0)
         }

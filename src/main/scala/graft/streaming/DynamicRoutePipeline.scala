@@ -47,6 +47,18 @@ object DynamicRoutePipeline {
     def names: Seq[String] = tables.keys.toSeq.sorted
   }
 
+  /** Route values come from DATA (the reference expands its regex against
+    * database metadata instead), so a matched value is not automatically a
+    * safe path segment: the Java regex `.` matches `/`, and a hostile or
+    * corrupt value like `t/../../x` would both escape `tablesDir` and alias
+    * a second State entry onto an existing table's directory. Only names
+    * that are exactly one safe path segment are routable.
+    */
+  private[graft] def safeSegment(name: String): Boolean =
+    name.nonEmpty && name.length <= 255 &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
+      name != "." && name != ".."
+
   private def tableFor(spark: SparkSession, d: Config, state: State,
       name: String): LakeTable =
     state.tables.getOrElseUpdate(name, {
@@ -70,7 +82,7 @@ object DynamicRoutePipeline {
       // names, not rows; the aggregate is map-side combined)
       val observed = cached.select(col(d.routeCol).cast("string").as("n"))
         .where(col("n").isNotNull).distinct().collect().map(_.getString(0))
-        .filter(_.matches(d.pattern)).sorted
+        .filter(n => n.matches(d.pattern) && safeSegment(n)).sorted
       observed.map { name =>
         val t = tableFor(spark, d, state, name)
         name -> MergeInto.merge(t, cached.where(col(d.routeCol) === name),

@@ -19,10 +19,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    codegen'd, one shuffle on the key, no UDFs, no state store; the shape
   *    that scales to a 100 TB backfill.
   *  - [[streamingSessions]] (streaming): `flatMapGroupsWithState` with an
-  *    event-time timeout — per-key state is one (start, last, n) triple,
-  *    sessions emit exactly once when the watermark passes `last + gap`.
-  *    Incremental state is the thing the batch plan cannot express on an
-  *    unbounded stream.
+  *    event-time timeout — per-key state is a list of disjoint provisional
+  *    sessions (each pair separated by more than the gap), and a session
+  *    emits exactly once, only when the WATERMARK passes its end + gap.
+  *    Nothing seals on an observed in-stream gap: an out-of-order event
+  *    still inside the watermark delay can bridge or extend any provisional
+  *    session, exactly as the batch plan would place it. Rows older than
+  *    the current watermark are dropped (the same contract as Spark's
+  *    windowed aggregations — FMGWS does not drop them for us). Incremental
+  *    state is the thing the batch plan cannot express on an unbounded
+  *    stream.
   *
   * StreamingExtrasSpec asserts streamed output == batch output == the
   * DuckDB oracle (q36).
@@ -37,9 +43,11 @@ object Sessionize extends Serializable {
   final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
 
   /** Internal per-key streaming state (public: the state encoder's codegen
-    * must reach the constructor).
+    * must reach the constructors): disjoint provisional sessions, sorted by
+    * start, adjacent pairs separated by more than the gap.
     */
   final case class SessState(startUs: Long, lastUs: Long, n: Long)
+  final case class SessList(sessions: Seq[SessState])
 
   /** Epoch micros ↔ Timestamp, exact (Timestamp.getTime alone floors to ms). */
   private def micros(t: java.sql.Timestamp): Long =
@@ -73,46 +81,58 @@ object Sessionize extends Serializable {
   }
 
   /** Streaming sessionization. Input must carry the watermark (the caller
-    * sets `withWatermark` on the ts column before `as[KeyedEvent]`); each
-    * session emits once, when the watermark passes its end + gap. Events
-    * inside one micro-batch are sorted by ts before folding, so in-batch
-    * disorder is free; cross-batch disorder is bounded by the watermark
-    * delay, as usual.
+    * sets `withWatermark` on the ts column before `as[KeyedEvent]`).
+    *
+    * Correctness contract vs the batch twin: sessions NEVER seal on an
+    * observed gap — an event observed 2×gap ahead opens a second
+    * provisional session, and a later (but not watermark-late) event can
+    * still land between them and merge all three into one, exactly as the
+    * batch plan would. A session is emitted only when the watermark passes
+    * its end + gap, at which point no acceptable future row can extend it
+    * (such a row would be older than the watermark, and those are dropped
+    * on entry). So streamed output equals batch output whenever disorder is
+    * within the watermark delay — the same guarantee Spark's built-in
+    * windowed aggregations give.
     */
   def streamingSessions(ds: Dataset[KeyedEvent], gapSec: Long): Dataset[Session] = {
     import ds.sparkSession.implicits._
     val gapUs = gapSec * 1000000L
 
+    // insert t into the disjoint sorted list: it extends/bridges every
+    // session within gap reach (at most two), or opens a new one
+    def insert(list: List[SessState], t: Long): List[SessState] = {
+      val (left, rest) = list.span(s => s.lastUs + gapUs < t)
+      val (touch, right) = rest.span(s => s.startUs - gapUs <= t)
+      val merged =
+        if (touch.isEmpty) SessState(t, t, 1)
+        else SessState(math.min(touch.head.startUs, t),
+          math.max(touch.last.lastUs, t), touch.map(_.n).sum + 1)
+      left ++ (merged :: right)
+    }
+
     def fold(key: String, rows: Iterator[KeyedEvent],
-        state: GroupState[SessState]): Iterator[Session] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-      def emit(s: SessState): Unit =
-        out += Session(key, toTs(s.startUs), toTs(s.lastUs), s.n)
-      if (state.hasTimedOut) {
-        state.getOption.foreach(emit)
-        state.remove()
-      } else {
-        var cur = state.getOption.orNull
-        rows.map(e => micros(e.ts)).toArray.sorted.foreach { t =>
-          cur match {
-            case null => cur = SessState(t, t, 1)
-            case s if t - s.lastUs > gapUs => emit(s); cur = SessState(t, t, 1)
-            case s => cur = SessState(s.startUs, math.max(s.lastUs, t), s.n + 1)
-          }
-        }
-        if (cur != null) {
-          state.update(cur)
-          // ms-granular timeout, rounded up so a micro-remainder cannot
-          // close the session one watermark tick early; clamped above the
-          // current watermark — FMGWS does NOT drop late rows for us, and a
-          // session revived by a late event would otherwise set a timeout in
-          // the past (an error). Clamping closes it at the next advance.
-          state.setTimeoutTimestamp(math.max(
-            Math.floorDiv(cur.lastUs + gapUs, 1000L) + 1,
-            state.getCurrentWatermarkMs() + 1))
-        }
+        state: GroupState[SessList]): Iterator[Session] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var sess = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+      if (!state.hasTimedOut) {
+        // drop rows already older than the watermark (they could otherwise
+        // resurrect an emitted session — FMGWS leaves late-row policy to us)
+        rows.map(e => micros(e.ts)).filter(_ >= wmUs)
+          .foreach(t => sess = insert(sess, t))
       }
-      out.iterator
+      // emit every session the watermark has sealed: no future non-late row
+      // can reach it (it would need ts <= last + gap < watermark)
+      val (closed, open) = sess.partition(s => s.lastUs + gapUs < wmUs)
+      if (open.nonEmpty) {
+        state.update(SessList(open))
+        // ms-granular timeout, rounded up (a µs remainder must not fire a
+        // tick early) and clamped above the current watermark (a timeout in
+        // the past is an error; clamping re-fires at the next advance)
+        state.setTimeoutTimestamp(math.max(
+          Math.floorDiv(open.map(_.lastUs).min + gapUs, 1000L) + 1,
+          state.getCurrentWatermarkMs() + 1))
+      } else state.remove()
+      closed.map(s => Session(key, toTs(s.startUs), toTs(s.lastUs), s.n)).iterator
     }
 
     ds.groupByKey(_.key)

@@ -76,6 +76,15 @@ class RulesSpec extends SparkSpec {
       graft.rules.RulePipeline.template("{{$nope}}"))
     intercept[IllegalArgumentException](
       graft.rules.RulePipeline.template("{{range .tags}}x"))
+    // arity misuse fails with the clean template diagnostic, not an
+    // IndexOutOfBounds from inside the compiler
+    val e = intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{ne .k}}"))
+    assert(e.getMessage.contains("template function ne"))
+    intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{.k | lt}}"))
+    intercept[IllegalArgumentException](
+      graft.rules.RulePipeline.template("{{eq .k}}"))
   }
   import spark.implicits._
 
