@@ -310,14 +310,20 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
           System.currentTimeMillis(), "vacuum-snapshot")),
         forceSnapshot = true)
     val all = versions()
+    // each segment is JSON-parsed at most once per vacuum (cut + both refOf
+    // passes share the cache), and membership checks use a Set — on a long
+    // retained history the naive form was O(segments²) parse+scan
+    val segCache = scala.collection.mutable.Map.empty[Int, MetaSegment]
+    def seg(v: Int): MetaSegment = segCache.getOrElseUpdate(v, readSegment(root, v))
     val kept = all.takeRight(math.max(1, keepVersions))
-    val cut = math.min(kept.map(v => readSegment(root, v).baseVersion).min, kept.head)
+    val cut = math.min(kept.map(v => seg(v).baseVersion).min, kept.head)
     val dropSegs = all.filter(_ < cut)
-    val surviving = all.filterNot(dropSegs.contains)
+    val dropSet = dropSegs.toSet
+    val surviving = all.filterNot(dropSet)
     // referenced-by = union of (filesFull ∪ addedFiles) over segments: every
     // file in a version's fold was added by some segment at-or-below it
     def refOf(vs: Seq[Int]): Set[String] = vs.flatMap { v =>
-      val s = readSegment(root, v)
+      val s = seg(v)
       s.filesFull.getOrElse(Nil).map(_.path) ++ s.addedFiles.map(_.path)
     }.toSet
     val survivingRef = refOf(surviving)
@@ -350,14 +356,22 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
             (now - newestInCommit(commitDir(p))) > orphanGraceMs
         if (delete) { Files.deleteIfExists(p); removedFiles += 1 }
       }
-      // prune emptied commit directories
+      // prune emptied commit directories — but only ones that have been
+      // quiet for a grace window: an in-flight write creates its staging
+      // dirs BEFORE the first part file lands, and an unconditional prune
+      // would race that window and fail the commit. A live stage keeps
+      // touching its dirs' mtimes as entries land; an abandoned one goes
+      // quiet and is reaped on a later vacuum.
+      val emptyDirGraceMs = math.max(orphanGraceMs, 15L * 60 * 1000)
       val w2 = Files.walk(dataDir)
       val dirs = try w2.iterator().asScala.toSeq.reverse finally w2.close()
       dirs.filter(p => Files.isDirectory(p) && p != dataDir)
         .foreach { p =>
           val it = Files.list(p)
           val empty = try !it.iterator().hasNext finally it.close()
-          if (empty) Files.deleteIfExists(p)
+          if (empty &&
+            (now - Files.getLastModifiedTime(p).toMillis) > emptyDirGraceMs)
+            Files.deleteIfExists(p)
         }
     }
     dropSegs.foreach(v => Files.deleteIfExists(root.resolve("meta").resolve(f"v$v%08d.json")))
@@ -475,7 +489,7 @@ object LakeTable {
     val metaDir = Paths.get(dir).resolve("meta")
     if (!Files.isDirectory(metaDir)) return false
     val s = Files.list(metaDir)
-    try s.iterator().asScala.exists(_.getFileName.toString.matches("v\\d{8}\\.json"))
+    try s.iterator().asScala.exists(_.getFileName.toString.matches("v\\d{8,}\\.json"))
     finally s.close()
   }
 
@@ -484,7 +498,7 @@ object LakeTable {
     val s = Files.list(metaDir)
     try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d{8}\\.json") => n.stripPrefix("v").stripSuffix(".json").toInt }
+      .collect { case n if n.matches("v\\d{8,}\\.json") => n.stripPrefix("v").stripSuffix(".json").toInt }
       .toSeq.sorted
     finally s.close()
   }

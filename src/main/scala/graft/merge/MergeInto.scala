@@ -14,6 +14,13 @@ import java.util.UUID
 import scala.collection.parallel.CollectionConverters._
 import scala.jdk.CollectionConverters._
 
+/** Counter semantics differ by mode, deliberately: MOR skips in-batch dedup
+  * (read-side LWW picks the same winners), so its counters tally EVENTS
+  * applied — the reference's Prometheus insert/update/delete counters count
+  * exactly that, one tick per handled event (metrics.go ops counters). COW
+  * dedups before rewriting, so its counters tally post-LWW ROWS. A hot key
+  * with k events in one batch therefore counts k in MOR and 1 in COW.
+  */
 final case class MergeResult(epoch: Long, skipped: Boolean,
     upserted: Long, deleted: Long, replayed: Long, touchedBuckets: Int)
 
@@ -152,8 +159,15 @@ object MergeInto {
     */
   private def fenced(m0: TableMeta, epoch: Long, pipelineId: String,
       allowTakeover: Boolean): Boolean = {
-    val samePipe = pipelineId.isEmpty || m0.lastPipelineId.isEmpty ||
-      m0.lastPipelineId == pipelineId
+    // A pid-bearing pipeline attaching to a pid-LESS table is NOT the same
+    // pipeline: the table's epochs came from some earlier pid-less writer
+    // (batch CLI, replayer), and a fresh checkpoint restarts numbering at 0
+    // — treating that as "same" would silently fence never-applied batches
+    // (the exact loss this fence exists to prevent). Such an attach either
+    // starts above the fence (normal handoff) or needs explicit takeover.
+    // A pid-less CALLER on any table stays same-pipe: manual merges opt out
+    // of identity checking and rely on epoch monotonicity alone.
+    val samePipe = pipelineId.isEmpty || m0.lastPipelineId == pipelineId
     if (samePipe) epoch <= m0.lastEpoch
     else if (epoch > m0.lastEpoch || allowTakeover) false // adopt the new pipeline
     else throw new IllegalStateException(
@@ -191,7 +205,7 @@ object MergeInto {
       return MergeResult(epoch, skipped = true, 0, 0, 0, 0)
     if (mode == "mor")
       mergeMor(table, m0, batch, epoch, salt, registry, batchSchemaId, pipelineId, rowsHint)
-    else mergeCow(table, m0, batch, epoch, salt, registry, pipelineId)
+    else mergeCow(table, m0, batch, epoch, salt, registry, batchSchemaId, pipelineId)
   }
 
   // ------------------------------------------------------------------- MOR
@@ -314,16 +328,21 @@ object MergeInto {
 
   private def mergeCow(table: LakeTable, m0: TableMeta, batch: DataFrame,
       epoch: Long, salt: Int, registry: Map[Int, StructType],
-      pipelineId: String): MergeResult = {
+      batchSchemaIdIn: Int, pipelineId: String): MergeResult = {
     val keyCols = m0.keyCols
     val hasSid = batch.columns.contains("_schema_id")
+    // same contract as mergeMor: an explicit batchSchemaId declares how a
+    // batch WITHOUT a _schema_id column is shaped, so the evolution path
+    // below fires for it too (previously cow silently ignored the argument
+    // and dropped new-column data on such batches)
+    val batchSchemaId = if (batchSchemaIdIn >= 0) batchSchemaIdIn else m0.schemaId
     val bucket = table.bucketExpr(m0.numBuckets, m0.bucketCols)
 
     val dedup = lwwDedup(batch, keyCols, salt)
       .withColumn("_bucket", bucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sidAgg = if (hasSid) max(col("_schema_id")) else max(lit(m0.schemaId))
+      val sidAgg = if (hasSid) max(col("_schema_id")) else max(lit(batchSchemaId))
       val stats = dedup.groupBy("_bucket").agg(
         count(lit(1)).as("n"),
         sum(when(col("_op") === OpDelete, 1L).otherwise(0L)).as("dels"),
@@ -530,19 +549,25 @@ object MergeInto {
       schemaId: Int, kind: String): List[FileEntry] = {
     val commitDir = table.root.resolve(commitRel)
     if (!Files.isDirectory(commitDir)) return Nil
-    val paths = Files.list(commitDir).iterator().asScala
+    // every Files.list stream is closed eagerly — this runs once per commit
+    // on a long-lived driver, and unclosed directory streams leak FDs
+    def ls(dir: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val paths = ls(commitDir)
       .filter(_.getFileName.toString.startsWith("bkt="))
       .flatMap { bdir =>
         val b = bdir.getFileName.toString.stripPrefix("bkt=").toInt
-        Files.list(bdir).iterator().asScala
+        ls(bdir)
           .filter(_.getFileName.toString.startsWith("del="))
           .flatMap { ddir =>
             val del = ddir.getFileName.toString.stripPrefix("del=").toBoolean
-            Files.list(ddir).iterator().asScala
+            ls(ddir)
               .filter(_.getFileName.toString.endsWith(".parquet"))
               .map(f => (b, del, f.toUri.toString, table.root.relativize(f).toString))
           }
-      }.toList
+      }
     val posCol = table.PosCol
     if (paths.size <= DriverFooterLimit) {
       // small commit: footer reads in parallel on the driver beat a job round-trip

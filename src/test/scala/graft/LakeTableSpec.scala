@@ -219,6 +219,26 @@ class LakeTableSpec extends SparkSpec {
     assert(!r2.skipped && t.meta.lastPipelineId == "pipeC")
   }
 
+  test("pipeline-identity fence: pid-less table + fresh pid-ful checkpoint is foreign") {
+    // table written WITHOUT a pipeline id (batch CLI / replayer) up to epoch 1
+    val t = LakeTable.create(spark, tmpDir("lt-pidless").resolve("t").toString,
+      schema, Seq("k"), Seq("k"), 2)
+    MergeInto.merge(t, batch((OpInsert, 1L, "a", "a1")), 0)
+    MergeInto.merge(t, batch((OpInsert, 2L, "b", "b1")), 1)
+    assert(t.meta.lastPipelineId == "")
+    // a NEW pid-ful pipeline with a fresh checkpoint restarts numbering at 0:
+    // its batch was never applied — silently fencing it as a replay would be
+    // data loss, so the attach must be explicit (takeover) or start above
+    intercept[IllegalStateException] {
+      MergeInto.merge(t, batch((OpInsert, 3L, "c", "c1")), 0, pipelineId = "pipeNew")
+    }
+    val r = MergeInto.merge(t, batch((OpInsert, 3L, "c", "c1")), 0,
+      pipelineId = "pipeNew", allowTakeover = true)
+    assert(!r.skipped && t.meta.lastPipelineId == "pipeNew")
+    // pid-less callers keep the legacy epoch-only fence on their own tables
+    assert(MergeInto.merge(t, batch((OpInsert, 9L, "x", "x1")), 0).skipped)
+  }
+
   test("wildcard table expansion (S6): regex match, lone-* rejected") {
     import graft.sources.Tables
     val names = Tables.expandDir("/root/testdata/sf0.001", "^(nation|region)$")
