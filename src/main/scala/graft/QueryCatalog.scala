@@ -157,8 +157,9 @@ object QueryCatalog {
 
   val cdcEncodeKvSql: String =
     """SELECT event_id,
-      |  'event_id=' || event_id || ',event_type=' || event_type ||
-      |  ',value=' || CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS kv
+      |  'event_id=' || COALESCE(CAST(event_id AS VARCHAR), '') ||
+      |  ',event_type=' || COALESCE(event_type, '') ||
+      |  ',value=' || COALESCE(CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR), '') AS kv
       |FROM events ORDER BY event_id""".stripMargin
 
   /** P8 template + P10 composite-PK key derivation. */

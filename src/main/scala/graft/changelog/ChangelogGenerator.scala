@@ -169,14 +169,21 @@ object ChangelogGenerator {
 
     // Flatten chunk=*/part-*.parquet → c<chunk>-<part>.parquet with ascending
     // modification times so the streaming file source replays in order.
-    val chunkDirs = Files.list(staging).iterator().asScala
+    // (directory streams closed eagerly — same FD discipline as MergeInto's
+    // commit listings; at the 10^10-event regime this loop visits a lot of
+    // chunk dirs on one driver)
+    def ls(dir: Path): Seq[Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val chunkDirs = ls(staging)
       .filter(p => p.getFileName.toString.startsWith("chunk="))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
     var t = System.currentTimeMillis() - chunkDirs.size * 2000L - 10000L
     chunkDirs.foreach { cd =>
       val chunk = cd.getFileName.toString.stripPrefix("chunk=")
-      Files.list(cd).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      ls(cd)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.getFileName.toString).foreach { f =>
           val dest = out.resolve(s"$chunk-${f.getFileName}")
           Files.move(f, dest, StandardCopyOption.ATOMIC_MOVE)
@@ -189,7 +196,9 @@ object ChangelogGenerator {
 
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val w = Files.walk(p)
+      val all = try w.iterator().asScala.toSeq finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }

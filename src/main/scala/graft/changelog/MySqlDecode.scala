@@ -33,6 +33,9 @@ object MySqlDecode {
     * concat_ws drops the NULL branches, so only set bits contribute.
     */
   def decodeSet(mask: Column, labels: Seq[String]): Column = {
+    // 1L << i wraps at i = 64 (shift is mod 64), so label 64 would test bit
+    // 0 and silently report wrong membership — MySQL itself caps SET at 64
+    require(labels.size <= 64, s"SET supports at most 64 labels, got ${labels.size}")
     val m = mask.cast("long")
     val parts = labels.zipWithIndex.map { case (l, i) =>
       // =!= 0, not > 0: bit 63 (MySQL SET's 64-label max) is Long.MinValue

@@ -112,7 +112,15 @@ object GraftConfig {
     if (rc.target == "lake") {
       require(rc.tableDir != null, s"route ${rc.name}: lake target needs table_dir")
       require(rc.keyColumns.nonEmpty, s"route ${rc.name}: lake target needs key_columns")
-    } else require(rc.outDir != null, s"route ${rc.name}: changefeed target needs out_dir")
+    } else {
+      require(rc.outDir != null, s"route ${rc.name}: changefeed target needs out_dir")
+      // message routes key every message with concat_ws over key_columns —
+      // zero columns would silently key EVERYTHING as "" (one hot partition,
+      // no per-key ordering), so demand an explicit key unless the route
+      // emits script ops (which carry their own keys)
+      require(rc.ops.nonEmpty || rc.keyColumns.nonEmpty,
+        s"route ${rc.name}: changefeed target needs key_columns (or ops)")
+    }
     rc
   }
 
@@ -125,10 +133,10 @@ object GraftConfig {
     excludeColumns = strList(m, "exclude_columns"),
     columnMappings = strMap(m, "column_mappings"),
     caseTransform = Option(str(m, "case_transform")),
-    defaultColumns = strMap(m, "default_columns").toSeq,
+    defaultColumns = strPairs(m, "default_columns"),
     dateFormats = strMap(m, "date_formats"),
     filterExpr = Option(str(m, "filter")),
-    computedColumns = strMap(m, "computed").toSeq)
+    computedColumns = strPairs(m, "computed"))
 
   private def parseOp(m: Map[String, Any]): ExprOp = ExprOp(
     target = str(m, "target", required = true),
@@ -156,6 +164,19 @@ object GraftConfig {
     list(m, k).map(String.valueOf)
   private def strMap(m: Map[String, Any], k: String): Map[String, String] =
     m.get(k).map(asMap).getOrElse(Map.empty).map { case (a, b) => a -> String.valueOf(b) }
+  /** Order-PRESERVING map parse: snakeyaml hands back a LinkedHashMap in
+    * YAML document order, and `computed`/`default_columns` are applied
+    * sequentially (a computed column may reference an earlier one), so they
+    * must not round-trip through an unordered Scala Map — immutable.Map
+    * keeps insertion order only up to 4 entries.
+    */
+  private def strPairs(m: Map[String, Any], k: String): Seq[(String, String)] =
+    m.get(k) match {
+      case Some(jm: java.util.Map[_, _]) =>
+        jm.asScala.toSeq.map { case (a, b) => String.valueOf(a) -> String.valueOf(b) }
+      case Some(null) | None => Seq.empty
+      case Some(other) => throw new IllegalArgumentException(s"expected a map for $k, got: $other")
+    }
   private def str(m: Map[String, Any], k: String, default: String = null,
       required: Boolean = false): String = m.get(k) match {
     case Some(v) if v != null => String.valueOf(v)

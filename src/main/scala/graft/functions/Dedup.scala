@@ -32,13 +32,19 @@ object Dedup {
       .otherwise(array(array_join(toks, " ")))
   }
 
-  /** MinHash signature: k independent permutations. Each shingle STRING is
+  /** REFERENCE MinHash signature over a prebuilt string-shingle column —
+    * the interpreted-HOF verify baseline ONLY. The scale path is
+    * [[MinHash64.signature]] (one-pass kernel, ~2600× faster per its doc);
+    * the two use DIFFERENT hash families, so their signatures must never be
+    * mixed in one comparison (the `Ref` suffix marks that boundary).
+    *
+    * k independent permutations. Each shingle STRING is
     * hashed exactly once (xxhash64 over bytes); the k permutations derive
     * from that 64-bit value via fixed-width re-hashes — the standard
     * one-hash/k-permutations trick, ~k× less string hashing than hashing
     * every shingle k times.
     */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
+  def minhashSignatureRef(shingleCol: Column, k: Int = 32): Column = {
     val hs = transform(shingleCol, x => xxhash64(x))
     transform(sequence(lit(0), lit(k - 1)),
       j => array_min(transform(hs, h => xxhash64(h, j))))
@@ -95,10 +101,22 @@ object Dedup {
     * shingles are never shuffled ×bands; they are fetched once per candidate
     * side for the verify join. `maxBucket` bounds degenerate buckets.
     */
+  /** Band geometry guard: bands must tile the signature exactly. k/bands
+    * with bands > k yields 0-width bands (every band hash a constant — one
+    * global bucket, then capBuckets drops it and the result reads as "no
+    * near-duplicates"); a non-dividing bands silently ignores signature
+    * slots. Both misconfigurations now fail fast.
+    */
+  private def bandRows(k: Int, bands: Int): Int = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature size k ($k)")
+    k / bands
+  }
+
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7,
       shingleN: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    val rows = k / bands
+    val rows = bandRows(k, bands)
     val toks = tokens(normalized(col(textCol)))
     // hashed-shingle SETS for the exact-Jaccard verify (same cardinalities
     // as the string shingles — set semantics preserved by the kernel)
@@ -126,7 +144,7 @@ object Dedup {
     */
   def lshBucketStats(df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3, minSize: Long = 2): DataFrame = {
-    val rows = k / bands
+    val rows = bandRows(k, bands)
     df.select(col(idCol).as("id"),
       posexplode(lshBandHashes(
         MinHash64.signature(tokens(normalized(col(textCol))), shingleN, k),

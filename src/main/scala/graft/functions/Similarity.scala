@@ -170,17 +170,21 @@ object Similarity {
             s => s.getField("_x")).as("cent_vec"))
     }
 
-    def assign(df: DataFrame, vecCol: String, n: Int): DataFrame = {
+    // rank cells PER VECTOR: partition on the caller's id column, not a
+    // positional guess — with the id anywhere but column 0 the head-column
+    // partition would rank across unrelated vectors and silently drop most
+    // of the corpus from the index
+    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
       df.crossJoin(broadcast(cents))
         .withColumn("_d", cosine(col(vecCol), col("cent_vec")))
         .withColumn("_r", row_number().over(
-          Window.partitionBy(col(df.columns.head)).orderBy(col("_d").desc, col("cell"))))
+          Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cell"))))
         .where(col("_r") <= n)
         .drop("cent_vec", "_d", "_r")
     }
 
-    val corpusCells = assign(corpus, cVec, corpusAssign)
-    val queryCells = assign(queries, qVec, nProbe)
+    val corpusCells = assign(corpus, cId, cVec, corpusAssign)
+    val queryCells = assign(queries, qId, qVec, nProbe)
     // id-only candidate dedup (multi-assigned corpus vectors can meet the
     // same query in several cells); vectors re-attached once for scoring
     val cand = queryCells.join(corpusCells, Seq("cell"))

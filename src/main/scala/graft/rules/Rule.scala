@@ -128,13 +128,20 @@ object RulePipeline {
     * (reference: service/endpoint/endpoint.go:221-257; constants
     * global/rule.go:46-49).
     */
-  def encodeValue(df: DataFrame, how: String): Column = how match {
-    case "json" => to_json(struct(df.columns.map(col): _*))
-    case "kv-commas" =>
-      concat_ws(",", df.columns.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
-    case "v-commas" =>
-      concat_ws(",", df.columns.map(col(_).cast("string")): _*)
-    case other => throw new IllegalArgumentException(s"unknown value encoder: $other")
+  def encodeValue(df: DataFrame, how: String): Column = {
+    // null fidelity: the reference's ToString(nil) is "" (string_util.go:
+    // 162-166), so kv-commas emits `k=` and v-commas keeps the empty slot —
+    // concat_ws would DROP the null operand ("k", and one fewer slot),
+    // breaking any consumer that splits on '=' / counts fields
+    def s(c: String) = coalesce(col(c).cast("string"), lit(""))
+    how match {
+      case "json" => to_json(struct(df.columns.map(col): _*))
+      case "kv-commas" =>
+        concat_ws(",", df.columns.map(c => concat(lit(c), lit("="), s(c))): _*)
+      case "v-commas" =>
+        concat_ws(",", df.columns.map(s): _*)
+      case other => throw new IllegalArgumentException(s"unknown value encoder: $other")
+    }
   }
 
   /** P8: compile a Go-text/template subset into a Column. The reference

@@ -37,7 +37,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("minhash jaccard estimate tracks exact jaccard") {
     val d = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
-      .withColumn("sig", Dedup.minhashSignature($"sh", 64))
+      .withColumn("sig", Dedup.minhashSignatureRef($"sh", 64))
     val a = d.where($"doc_id" === 0).select("sh", "sig").head()
     val b = d.where($"doc_id" === 3).select("sh", "sig").head()
     val exact = {

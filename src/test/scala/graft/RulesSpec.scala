@@ -135,6 +135,13 @@ class RulesSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(js.contains("""{"user_id":1,"user_name":"alice"}"""))
     intercept[IllegalArgumentException](RulePipeline.encodeValue(two, "xml"))
+    // null fidelity matches the reference's ToString(nil) == "": kv keeps
+    // `k=`, v-commas keeps the empty slot (string_util.go:162-166)
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("user_id", "user_name")
+    assert(withNull.select(RulePipeline.encodeValue(withNull, "kv-commas").as("v"))
+      .as[String].head() == "user_id=1,user_name=")
+    assert(withNull.select(RulePipeline.encodeValue(withNull, "v-commas").as("v"))
+      .as[String].head() == "1,")
   }
 
   test("P8 template formatter {{.COL}} incl. null → empty string") {
