@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
   * Three parts (protocol + measured results: BASELINE.md):
   *  1. The authoritative north-rule metric — sustained change-events/sec
   *     applied (changelog replay → LakeTable MERGE) — measured on the SAME
-  *     synthetic changelog at two parallelism levels (default local[4] vs
-  *     local[16] = N vs 4N, matching shuffle partitions), evidencing the
+  *     synthetic changelog at two parallelism levels (default local[2] vs
+  *     local[8] = N vs 4N, matching shuffle partitions; see the levels
+  *     comment in main and BASELINE.md for why 2→8), evidencing the
   *     scaling-efficiency criterion.
-  *  2. The full Structured Streaming pipeline throughput at 4N.
+  *  2. The full Structured Streaming pipeline throughput at the upper level.
   *  3. Per-query wall times for the operator catalog on
   *     `SPARK_GRAFT_SF_DIR` at local[32].
   */
@@ -145,10 +146,15 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     // clear stale RAM scratch from previous killed runs before allocating
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(scratchRoot).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("graft_bench") ||
-        p.getFileName.toString.startsWith("graft-spark-local"))
-      .foreach(ChangelogGenerator.deleteRecursively)
+    locally {
+      val s = java.nio.file.Files.list(scratchRoot)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("graft_bench") ||
+          p.getFileName.toString.startsWith("graft_replay") || // q01's table scratch
+          p.getFileName.toString.startsWith("graft-spark-local"))
+        .toList.foreach(ChangelogGenerator.deleteRecursively)
+      finally s.close()
+    }
     val work = java.nio.file.Files.createTempDirectory(scratchRoot, "graft_bench")
     sys.addShutdownHook { // RAM-backed scratch must not outlive the run
       ChangelogGenerator.deleteRecursively(work)
@@ -180,12 +186,13 @@ object Bench {
     // bulk micro-batches: CDC catch-up shape; per-batch size is the
     // bulk_size analog (reference: global/config.go:54) scaled to Spark
     val chunksPerBatch = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIGGER_CHUNKS", "16").toInt
-    def logFilesSorted(s: SparkSession): Seq[Seq[String]] = {
-      import scala.jdk.CollectionConverters._
-      val all = java.nio.file.Files.list(java.nio.file.Paths.get(log))
-        .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      all.grouped(chunksPerBatch * spec.filesPerChunk).toSeq
+    def lsSorted(dir: String): Seq[String] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally st.close()
     }
+    def logFilesSorted(s: SparkSession): Seq[Seq[String]] =
+      lsSorted(log).grouped(chunksPerBatch * spec.filesPerChunk).toSeq
     def applyAll(s: SparkSession, tableDir: String, logDir: String,
         groups: Seq[Seq[String]]): LakeTable = {
       val table = LakeTable.create(s, tableDir, Types.transcriptSchemaV0,
@@ -206,10 +213,7 @@ object Bench {
     def replay(cores: Int, run: Int): Double = {
       val s = session(cores)
       // untimed warmup: JIT + codegen compile of the whole merge path
-      import scala.jdk.CollectionConverters._
-      val warmFiles = java.nio.file.Files.list(java.nio.file.Paths.get(warmLog))
-        .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-      applyAll(s, s"$work/warm$cores-$run/table", warmLog, Seq(warmFiles))
+      applyAll(s, s"$work/warm$cores-$run/table", warmLog, Seq(lsSorted(warmLog)))
 
       val dir = s"$work/t$cores-$run"
       val groups = logFilesSorted(s)
@@ -250,7 +254,7 @@ object Bench {
     val hwEff = math.min(cpuEff, memEff)
     val normalizedEff = if (hwEff > 0) math.min(1.0, efficiency / hwEff) else efficiency
 
-    // -------- full Structured Streaming pipeline throughput (16 cores) ----
+    // -------- full Structured Streaming pipeline throughput (upper level) ----
     val streamEps = {
       val s = session(levels.last)
       val dir = s"$work/stream"
@@ -288,21 +292,27 @@ object Bench {
       qs
     }
 
-    val qJson = queries.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+    // Locale.ROOT formatting: the f-interpolator honors the default locale,
+    // and a comma-decimal locale would print invalid JSON for the driver
+    def n3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      v.asInstanceOf[AnyRef])
+    def n0(v: Double) = String.format(java.util.Locale.ROOT, "%.0f",
+      v.asInstanceOf[AnyRef])
+    val qJson = queries.map { case (k, v) => s""""$k":${n3(v)}""" }
       .mkString("{", ",", "}")
     val total = queries.map(_._2).filter(_ >= 0).sum
     val levelsJson = levels.map(c =>
-      s""""local$c":{"eps":${f"${epsByLevel(c)}%.0f"},"secs":${f"${secsByLevel(c)}%.3f"}}""")
+      s""""local$c":{"eps":${n0(epsByLevel(c))},"secs":${n3(secsByLevel(c))}}""")
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"cdc_events_per_sec","value":${f"$epsHi%.0f"},"unit":"events/sec",""" +
-        s""""queries":$qJson,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},""" +
+      s"""{"metric":"cdc_events_per_sec","value":${n0(epsHi)},"unit":"events/sec",""" +
+        s""""queries":$qJson,"sf":"$sfDir","total_query_sec":${n3(total)},""" +
         s""""cdc":{"events":$totalEvents,"levels":$levelsJson,""" +
         s""""n_cores":${levels.head},"n4_cores":${levels.last},""" +
-        s""""streaming_eps":${f"$streamEps%.0f"},""" +
-        s""""scaling_efficiency":${f"$efficiency%.3f"},""" +
-        s""""cpu_hw_scaling_efficiency":${f"$cpuEff%.3f"},""" +
-        s""""mem_hw_scaling_efficiency":${f"$memEff%.3f"},""" +
-        s""""scaling_efficiency_vs_hw":${f"$normalizedEff%.3f"}}}""")
+        s""""streaming_eps":${n0(streamEps)},""" +
+        s""""scaling_efficiency":${n3(efficiency)},""" +
+        s""""cpu_hw_scaling_efficiency":${n3(cpuEff)},""" +
+        s""""mem_hw_scaling_efficiency":${n3(memEff)},""" +
+        s""""scaling_efficiency_vs_hw":${n3(normalizedEff)}}}""")
   }
 }

@@ -129,7 +129,8 @@ object Main {
 
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
-      System.err.println("usage: gen|init|run|bootstrap|changefeed|status|set-offset|compact|vacuum|query ...")
+      System.err.println(
+        "usage: gen|init|run|run-config|bootstrap|changefeed|status|set-offset|compact|vacuum|query ...")
       sys.exit(2)
   }
 }

@@ -483,7 +483,8 @@ object QueryCatalog {
 
   val docTextStatsSql: String =
     """SELECT doc_id, length(text) AS n_chars,
-      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |  CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
       |  len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpe,
       |  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -617,6 +618,7 @@ object QueryCatalog {
     val frames = graft.sources.Tables.readMatching(s, dir, "^(nation|region|supplier)$")
       .map { case (name, df) => df.groupBy().agg(count(lit(1)).as("n"))
         .select(lit(name).as("tbl"), col("n")) }
+    require(frames.nonEmpty, s"no tables under $dir match the pattern")
     frames.reduce(_ unionAll _).orderBy("tbl")
   }
 

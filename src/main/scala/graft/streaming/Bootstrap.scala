@@ -28,6 +28,16 @@ object Bootstrap {
       (Seq(lit(Types.OpInsert).as("_op"), lit(startPos).as("_pos"),
         lit(null).cast("timestamp").as("_event_ts")) ++ rowCols.map(col)): _*)
     // cow ⇒ the stock load lands as resolved base files
-    MergeInto.merge(table, asEvents, BootstrapEpoch, mode = "cow")
+    val r = MergeInto.merge(table, asEvents, BootstrapEpoch, mode = "cow")
+    // epoch -1 passes the fence only on a FRESH table (lastEpoch starts at
+    // Long.MinValue): on a table the stream already wrote, the load would be
+    // silently fenced as a replay and every snapshot-only key dropped —
+    // surface that instead of returning upserted=0 as if it worked
+    if (r.skipped) throw new IllegalStateException(
+      s"bootstrap fenced: table at ${table.root} already has applied epochs " +
+        s"(lastEpoch=${table.meta.lastEpoch}); bootstrap into a fresh table, " +
+        "or replay the change log instead — change events supersede the " +
+        "snapshot under LWW, not the other way around")
+    r
   }
 }

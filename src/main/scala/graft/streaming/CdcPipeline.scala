@@ -180,7 +180,7 @@ object CdcPipeline {
     * retry blindly: a failed merge has not committed, and a merge that DID
     * commit before the failure surfaced is fenced to a no-op on retry.
     */
-  private def withBatchRetries[T](cfg: Config, epoch: Long)(f: => T): T = {
+  private[streaming] def withBatchRetries[T](cfg: Config, epoch: Long)(f: => T): T = {
     var attempt = 0
     while (true) {
       try {

@@ -162,6 +162,8 @@ object ConfigPipeline {
       availableNow: Boolean = false): StreamingQuery = {
     val routes = build(spark, c)
     val pipelineId = CdcPipeline.resolvePipelineId(c.checkpointDir)
+    // default retry knobs; only the retry fields of this config are used
+    val retryCfg = CdcPipeline.Config(c.changelogDir, c.checkpointDir)
     val wire = spark.readStream
       .schema(Types.changeEventWireSchema)
       .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
@@ -169,7 +171,10 @@ object ConfigPipeline {
     val writer = wire.writeStream
       .option("checkpointLocation", c.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(routes, df, batchId, c, pipelineId)
+        // transient failures retry in place (merges are fenced-idempotent;
+        // changefeed epochs overwrite), as in the single-table pipeline
+        CdcPipeline.withBatchRetries(retryCfg, batchId)(
+          applyBatch(routes, df, batchId, c, pipelineId))
         routes.foreach(b => if (b.table != null)
           MergeInto.maybeCompactAsync(b.table, c.autoCompactRatio, c.autoCompactMinRows))
         ()

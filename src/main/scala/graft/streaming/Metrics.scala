@@ -15,7 +15,8 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 object Metrics {
 
   final class JsonlListener(path: String) extends StreamingQueryListener {
-    Files.createDirectories(Paths.get(path).getParent)
+    // a bare relative filename has a null parent — nothing to create then
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
       append(s"""{"event":"started","id":"${e.id}","ts":"${e.timestamp}"}""")
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =

@@ -53,13 +53,23 @@ object MultiTablePipeline {
     val writer = wire.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        applyBatch(routes, df, batchId, cfg, pipelineId); ()
+        // same per-batch contract as the single-table and config pipelines:
+        // transient failures retry in place (merges are idempotent — the
+        // fence no-ops a half-applied replay), and every route's table gets
+        // async MOR maintenance, or deltas accumulate without bound
+        CdcPipeline.withBatchRetries(cfg, batchId)(
+          applyBatch(routes, df, batchId, cfg, pipelineId))
+        routes.foreach(r =>
+          MergeInto.maybeCompactAsync(r.table, cfg.autoCompactRatio, cfg.autoCompactMinRows))
+        ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime(cfg.triggerMs))).start()
   }
 
   def runToCompletion(spark: SparkSession, routes: Seq[Route],
-      cfg: CdcPipeline.Config): Unit =
+      cfg: CdcPipeline.Config): Unit = {
     start(spark, routes, cfg, availableNow = true).awaitTermination()
+    MergeInto.awaitCompaction()
+  }
 }

@@ -180,5 +180,10 @@ class MergeSpec extends SparkSpec {
     assert(state(t) == Map("a" -> "snap-a", "b" -> "snap-b"))
     MergeInto.merge(t, batch((OpUpdate, 0L, "a", "live-a"), (OpDelete, 1L, "b", null)), 0)
     assert(state(t) == Map("a" -> "live-a"))
+    // bootstrap into a table the stream already wrote would be silently
+    // fenced (epoch -1 <= lastEpoch) and drop snapshot-only keys — it must
+    // surface as an error instead of reporting upserted=0
+    val e = intercept[IllegalStateException](graft.streaming.Bootstrap.run(t, snap))
+    assert(e.getMessage.contains("bootstrap fenced"))
   }
 }
