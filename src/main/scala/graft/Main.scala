@@ -106,6 +106,17 @@ object Main {
       val (versionsDropped, filesRemoved) = table.vacuum(keep)
       println(s"vacuum: dropped $versionsDropped versions, removed $filesRemoved data files")
 
+    // changefeed feed maintenance — fold old epoch dirs into consolidated
+    // parquet (lossless; see ConfigPipeline.foldFeed for the crash/replay
+    // contract). The feed-side analog of `compact`.
+    case "fold-feed" :: outDir :: rest =>
+      val retain = rest.headOption.map(_.toInt).getOrElse(8)
+      graft.streaming.ConfigPipeline.foldFeed(spark, outDir, retain) match {
+        case Some(fc) => println(s"folded through epoch=${fc.watermark} into ${fc.dir}; " +
+          s"${graft.streaming.ConfigPipeline.readFeed(spark, outDir).count()} messages readable")
+        case None => println("nothing to fold")
+      }
+
     case "status" :: tableDir :: _ =>
       val table = LakeTable.load(spark, tableDir)
       val m = table.meta
@@ -130,7 +141,7 @@ object Main {
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
-        "usage: gen|init|run|run-config|bootstrap|changefeed|status|set-offset|compact|vacuum|query ...")
+        "usage: gen|init|run|run-config|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|query ...")
       sys.exit(2)
   }
 }

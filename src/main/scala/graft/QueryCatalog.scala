@@ -21,6 +21,22 @@ object QueryCatalog {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Replay scratch dirs pending exit cleanup + the single JVM hook that
+    * drains them (lazy val ⇒ registered at most once per process).
+    */
+  private val replayScratch =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val scratchCleanupHook: Unit = {
+    sys.addShutdownHook {
+      var p = replayScratch.poll()
+      while (p != null) {
+        graft.changelog.ChangelogGenerator.deleteRecursively(p)
+        p = replayScratch.poll()
+      }
+    }
+    ()
+  }
+
   /** events → merge-input change stream (see class doc for the mapping). */
   def eventsAsChanges(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "events").select(
@@ -60,9 +76,10 @@ object QueryCatalog {
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       }
       val tmp = java.nio.file.Files.createTempDirectory(scratch, "graft_replay")
-      sys.addShutdownHook {
-        graft.changelog.ChangelogGenerator.deleteRecursively(tmp)
-      }
+      // ONE process-wide hook draining a queue — registering a hook per
+      // invocation would accumulate (and pin) one per bench repeat
+      scratchCleanupHook
+      replayScratch.add(tmp)
       val table = LakeTable.create(s, s"$tmp/table", tableSchema,
         keyCols = Seq("user_id", "slot"), bucketCols = Seq("user_id"), numBuckets = 16)
       def timed[T](tag: String)(f: => T): T =
@@ -408,11 +425,53 @@ object QueryCatalog {
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Rolling-hash 64-bit fingerprint (xxhash64-based — no SQL oracle). */
+  /** Rolling-hash 64-bit fingerprint ([[graft.functions.RollingMin64]]). */
   def docFingerprintRolling(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.fingerprintRolling(col("text")).as("fp64"))
       .orderBy("doc_id")
+
+  /** Full DuckDB oracle for the rolling fingerprint: the unsigned 64-bit
+    * FNV + splitmix64 chain emulated in HUGEINT mod 2^64. Multiplication by
+    * a ≥2^32 constant C = Chi·2^32 + Clo is split so products stay < 2^127:
+    * (a·Clo + ((a·Chi) mod 2^32)·2^32) mod 2^64; >>> k becomes // 2^k
+    * (values are nonnegative). The signed reinterpretation (subtract 2^64
+    * above Long.MaxValue) runs PER WINDOW, as step 7 of the finalize chain,
+    * because the engine's min is over SIGNED longs. Finalize steps run as a
+    * `list_reduce` over step markers so the window expression appears once,
+    * not 128×. Valid because the normalized text is ASCII (ord == byte); a
+    * non-ASCII corpus would need blob-level bytes DuckDB 1.0 can't index.
+    */
+  val docFingerprintRollingSql: String = {
+    val mod = "18446744073709551616::HUGEINT" // 2^64
+    def mulmod(hi: Long, lo: Long) =
+      s"(h * $lo::HUGEINT + ((h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $mod"
+    def finalize(fnv: String) =
+      s"""list_reduce(list_prepend($fnv, [1,2,3,4,5,6,7]::HUGEINT[]),
+         |      (h, s) -> CASE s::BIGINT
+         |        WHEN 1 THEN (h + 11400714819323198485::HUGEINT) % $mod
+         |        WHEN 2 THEN xor(h, h // 1073741824::HUGEINT)
+         |        WHEN 3 THEN ${mulmod(3210233709L, 484763065L)}
+         |        WHEN 4 THEN xor(h, h // 134217728::HUGEINT)
+         |        WHEN 5 THEN ${mulmod(2496678331L, 321982955L)}
+         |        WHEN 6 THEN xor(h, h // 2147483648::HUGEINT)
+         |        ELSE CASE WHEN h >= 9223372036854775808::HUGEINT
+         |             THEN h - $mod ELSE h END
+         |      END)""".stripMargin
+    def fnvOver(bytes: String) =
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $bytes),
+         |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $mod)""".stripMargin
+    val winBytes = "[ord(t[i+j])::HUGEINT FOR j IN range(0, 8)]"
+    val allBytes = "[ord(t[i])::HUGEINT FOR i IN range(1, length(t)+1)]"
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  (CASE WHEN length(t) < 8 THEN ${finalize(fnvOver(allBytes))}
+       |   ELSE list_min([${finalize(fnvOver(winBytes))}
+       |     FOR i IN range(1, length(t) - 6)]) END)::BIGINT AS fp64
+       |FROM norm ORDER BY doc_id""".stripMargin
+  }
 
   /** MinHash-LSH near-dup pairs, exact-Jaccard-verified. DuckDB can't
     * reproduce xxhash64 minhashes, but the VERIFIED output is oracle-checkable
@@ -456,6 +515,58 @@ object QueryCatalog {
     Dedup.simhashNearDupPairs(read(s, dir, "documents"), "text", "doc_id",
       maxHamming = 3)
       .orderBy("idA", "idB")
+
+  /** Full DuckDB oracle for SimHash near-dup pairs. Adjudicable because the
+    * pigeonhole banding is EXACT at ≤ maxHamming (one of maxHamming+1
+    * disjoint chunks must match) and the sandbox corpus never hits the
+    * bucket cap, so the LSH output equals the all-pairs Hamming filter this
+    * SQL computes. Token hashes are the same FNV+splitmix64 chain as q20,
+    * emulated in HUGEINT mod 2^64 (see docFingerprintRollingSql); the bit
+    * vote `ones·2 > len` reproduces `acc(b) = ones − zeros > 0`; the pair
+    * scan uses DuckDB's native xor + bit_count on the signed sigs.
+    */
+  val docSimhashPairsSql: String = {
+    val mod = "18446744073709551616::HUGEINT"
+    def mulmod(hi: Long, lo: Long) =
+      s"(h * $lo::HUGEINT + ((h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $mod"
+    val tokenHash =
+      s"""list_reduce(list_prepend(
+         |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |        [ord(tok[i])::HUGEINT FOR i IN range(1, length(tok)+1)]),
+         |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $mod),
+         |      [1,2,3,4,5,6]::HUGEINT[]),
+         |    (h, s) -> CASE s::BIGINT
+         |      WHEN 1 THEN (h + 11400714819323198485::HUGEINT) % $mod
+         |      WHEN 2 THEN xor(h, h // 1073741824::HUGEINT)
+         |      WHEN 3 THEN ${mulmod(3210233709L, 484763065L)}
+         |      WHEN 4 THEN xor(h, h // 134217728::HUGEINT)
+         |      WHEN 5 THEN ${mulmod(2496678331L, 321982955L)}
+         |      ELSE xor(h, h // 2147483648::HUGEINT)
+         |    END)""".stripMargin
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, [$tokenHash FOR tok IN string_split(t, ' ')] AS hs
+       |  FROM norm
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    (SELECT sum(CASE WHEN len([x FOR x IN hs
+       |                  IF (x // power(2::HUGEINT, b)::HUGEINT) % 2 = 1]) * 2 > len(hs)
+       |                THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END)
+       |     FROM unnest(range(0, 64)) AS u(b)) AS usig
+       |  FROM toks
+       |), signed AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN usig >= 9223372036854775808::HUGEINT
+       |          THEN usig - $mod ELSE usig END)::BIGINT AS sig
+       |  FROM sigs)
+       |SELECT a.doc_id AS idA, b.doc_id AS idB,
+       |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+       |FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY idA, idB""".stripMargin
+  }
 
   /** Exact-verify baseline — O(n²), so bounded to a 1000-doc window (the
     * scale paths are the LSH variants q21/q22).

@@ -86,7 +86,9 @@ object SparkEntry {
     "q17_join_enrich" -> joinEnrichSql,
     "q18_doc_dedup_exact" -> docDedupExactSql,
     "q19_doc_fingerprint" -> docFingerprintSql,
+    "q20_doc_fingerprint_rolling" -> docFingerprintRollingSql,
     "q21_doc_minhash_pairs" -> docMinhashPairsSql,
+    "q22_doc_simhash_pairs" -> docSimhashPairsSql,
     "q23_doc_ngram_jaccard" -> docNgramJaccardPairsSql,
     "q24_doc_text_stats" -> docTextStatsSql,
     "q25_doc_quality" -> docQualitySql,

@@ -152,9 +152,10 @@ object RulePipeline {
     * the hot path:
     *
     *   - `{{.COL}}` and nested paths `{{.a.b}}` (null → empty string)
-    *   - `{{if P}}…{{else}}…{{end}}`, nested; field truthiness = non-null,
-    *     non-empty-string (our value domain); comparison/logic pipelines
-    *     evaluate as real booleans
+    *   - `{{if P}}…{{else}}…{{end}}`, nested; field truthiness follows Go's
+    *     zero-value rule, typed at analysis time ([[GoTruthy]]: numeric 0,
+    *     "", empty array/map, false, null are falsy); comparison/logic
+    *     pipelines evaluate as real booleans
     *   - `{{range .ARR}}…{{end}}` over ARRAY columns, `{{.}}` = element,
     *     `{{.f}}` = element field, `{{$.COL}}` = outer row, optional
     *     `{{range $i, $e := .ARR}}` bindings and an `{{else}}` branch for
@@ -176,15 +177,37 @@ object RulePipeline {
     sealed trait Tok
     final case class Text(s: String) extends Tok
     final case class Act(words: List[String]) extends Tok
-    val action = raw"\{\{([\s\S]*?)\}\}".r
+    // string-aware action scan: `}}` inside a quoted or raw string literal
+    // (e.g. {{printf "x}}y"}}) does NOT terminate the action — a blind
+    // regex would mis-lex the rest of the template into literal text
     val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var last = 0
-    action.findAllMatchIn(tmpl).foreach { m =>
-      if (m.start > last) toks += Text(tmpl.substring(last, m.start))
-      toks += Act(lexAction(m.group(1).trim))
-      last = m.end
+    while (last < tmpl.length) {
+      val start = tmpl.indexOf("{{", last)
+      if (start < 0) { toks += Text(tmpl.substring(last)); last = tmpl.length }
+      else {
+        if (start > last) toks += Text(tmpl.substring(last, start))
+        var j = start + 2
+        var end = -1
+        while (j < tmpl.length && end < 0) tmpl(j) match {
+          case '"' =>
+            j += 1
+            while (j < tmpl.length && tmpl(j) != '"')
+              j += (if (tmpl(j) == '\\') 2 else 1)
+            require(j < tmpl.length, s"unterminated string in action at $start")
+            j += 1
+          case '`' =>
+            val k = tmpl.indexOf('`', j + 1)
+            require(k > 0, s"unterminated raw string in action at $start")
+            j = k + 1
+          case '}' if j + 1 < tmpl.length && tmpl(j + 1) == '}' => end = j
+          case _ => j += 1
+        }
+        require(end >= 0, s"unterminated {{action}} at $start")
+        toks += Act(lexAction(tmpl.substring(start + 2, end).trim))
+        last = end + 2
+      }
     }
-    if (last < tmpl.length) toks += Text(tmpl.substring(last))
 
     // ---------------- compile ----------------
     // `dot` = the current element inside {{range}}; None at top level where
@@ -372,9 +395,12 @@ object RulePipeline {
   private final case class TVal(c: Column, bool: Boolean = false,
       lit0: Option[String] = None)
   private def render(v: TVal): Column = coalesce(v.c.cast("string"), lit(""))
+  // Go zero-value truthiness, typed at analysis time (numeric 0 and empty
+  // collections are FALSY — see [[GoTruthy]]); comparison/logic results are
+  // already booleans and skip the dispatch
   private def truthy(v: TVal): Column =
     if (v.bool) coalesce(v.c, lit(false))
-    else v.c.isNotNull && (v.c.cast("string") =!= "")
+    else GoTruthy(v.c)
 
   /** Tokenize one `{{…}}` action body: strings (quoted/raw), punctuation
     * `( ) , | :=`, and bare words (fields, vars, numbers, function names).

@@ -152,11 +152,136 @@ object ConfigPipeline {
     } finally { cached.unpersist(); () }
   }
 
-  /** Read a changefeed route's output (the per-epoch partition dirs), epoch
-    * partition column dropped — consumers see the plain (key, value) shape.
+  /** Read a changefeed route's output — folded history (if [[foldFeed]] has
+    * run) plus the live per-epoch partition dirs above the fold watermark —
+    * with the epoch column dropped: consumers see the plain (key, value)
+    * shape. The `epoch > watermark` predicate partition-prunes the live scan,
+    * so folded-but-not-yet-deleted dirs contribute no data twice.
     */
   def readFeed(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("epoch")
+    readFoldCommit(outDir) match {
+      case None => spark.read.parquet(outDir).drop("epoch")
+      case Some(fc) =>
+        val folded = spark.read.parquet(s"$outDir/_folded/${fc.dir}").drop("epoch")
+        if (epochDirs(outDir).forall(_._1 <= fc.watermark)) folded
+        else folded.unionByName(spark.read.parquet(outDir)
+          .where(col("epoch") > fc.watermark).drop("epoch"))
+    }
+
+  // ------------------------------------------------------ feed retention
+
+  /** Fold pointer: everything at `epoch ≤ watermark` lives consolidated in
+    * `outDir/_folded/<dir>`; the per-epoch dirs above it are live.
+    */
+  final case class FoldCommit(watermark: Long, dir: String)
+
+  private implicit val foldFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  def readFoldCommit(outDir: String): Option[FoldCommit] = {
+    val f = java.nio.file.Paths.get(outDir, "_fold.json")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(org.json4s.jackson.Serialization.read[FoldCommit](
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8")))
+  }
+
+  private def epochDirs(outDir: String): Seq[(Long, java.nio.file.Path)] = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("epoch=") && java.nio.file.Files.isDirectory(p))
+          scala.util.Try(n.stripPrefix("epoch=").toLong).toOption.map(_ -> p)
+        else None
+      }.toVector
+    } finally s.close()
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(p)
+    try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally w.close()
+  }
+
+  /** Changefeed feed maintenance — the retention the reference gets for free
+    * from its MQ broker (messages age out of Kafka/RocketMQ by broker
+    * policy; a file-based feed has no broker): a long-running 200 ms-trigger
+    * stream writes one `epoch=N` dir per micro-batch FOREVER (~13M dirs in a
+    * month), and partition discovery degrades with the dir count.
+    *
+    * Folds every epoch dir except the newest `retainLast` — plus the
+    * previous fold — into ONE consolidated parquet dir under
+    * `outDir/_folded/`, sized to ~128 MB output files, then atomically
+    * publishes the `_fold.json` pointer. Lossless: [[readFeed]] returns
+    * byte-identical rows before and after.
+    *
+    * Crash/replay safety:
+    *   - the stream only ever overwrites the LAST uncommitted epoch on
+    *     replay, so `retainLast ≥ 1` keeps every replayable dir live
+    *     (default 8 is generous);
+    *   - the commit pointer is published via ATOMIC_MOVE — readers see the
+    *     old fold or the new one, never a half state;
+    *   - folded dirs and the superseded fold are NOT deleted by the fold
+    *     that obsoletes them: cleanup is deferred to the NEXT invocation
+    *     (same idea as the lake's dropped-version vacuum), giving in-flight
+    *     readers a full fold cycle to finish while keeping the live dir
+    *     count bounded by one fold period + retainLast;
+    *   - a fold that crashes before publish leaves only an orphan staging
+    *     dir, overwritten or removed by the next run.
+    */
+  def foldFeed(spark: SparkSession, outDir: String,
+      retainLast: Int = 8): Option[FoldCommit] = {
+    require(retainLast >= 1, "retainLast must keep the replayable tail live")
+    val prev = readFoldCommit(outDir)
+    // deferred cleanup from the previous fold: live dirs its commit already
+    // covers, and any fold dir the pointer no longer references
+    prev.foreach { p =>
+      epochDirs(outDir).filter(_._1 <= p.watermark).foreach(d => deleteRec(d._2))
+      val froot = java.nio.file.Paths.get(outDir, "_folded")
+      if (java.nio.file.Files.isDirectory(froot)) {
+        val s = java.nio.file.Files.list(froot)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString != p.dir)
+            .foreach(deleteRec)
+        } finally s.close()
+      }
+    }
+    val live = epochDirs(outDir)
+    val foldable = live.map(_._1).sorted.dropRight(retainLast)
+    if (foldable.isEmpty) return prev
+    val w = foldable.max
+    val parts = live.filter(_._1 <= w).map { case (e, p) =>
+      spark.read.parquet(p.toString).withColumn("epoch", lit(e))
+    } ++ prev.map(p => spark.read.parquet(s"$outDir/_folded/${p.dir}"))
+    val all = parts.reduce(_ unionByName _)
+    // consolidate toward ~128 MB files (the fold's whole point is undoing
+    // per-trigger file shatter); coalesce avoids a shuffle
+    val bytes = live.filter(_._1 <= w).map { case (_, p) =>
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      } finally s.close()
+    }.sum
+    val nOut = math.max(1L, math.min(1024L, bytes / (128L << 20) + 1)).toInt
+    val dest = s"$outDir/_folded/fold-$w"
+    all.coalesce(nOut).write.mode("overwrite").parquet(dest)
+    val fc = FoldCommit(w, s"fold-$w")
+    val tmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(outDir), "._fold", ".tmp")
+    java.nio.file.Files.write(tmp,
+      org.json4s.jackson.Serialization.write(fc).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, "_fold.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Some(fc)
+  }
 
   def start(spark: SparkSession, c: GraftConfig,
       availableNow: Boolean = false): StreamingQuery = {

@@ -51,9 +51,6 @@ final class MetricsServer(tables: Map[String, LakeTable], port: Int = 0) {
       try os.write(bytes) finally os.close()
     }
 
-  /** Prometheus label-value / JSON string escaping (the two formats share
-    * the same three escapes: backslash, double-quote, newline).
-    */
   /** Escapes for BOTH output formats this server emits: Prometheus label
     * values need \\ \" \n; the JSON endpoint additionally forbids any raw
     * control char (< 0x20), so those become \u-escapes (valid in both).

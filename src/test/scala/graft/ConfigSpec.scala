@@ -120,6 +120,74 @@ class ConfigSpec extends SparkSpec {
       "replayed epoch appended duplicates")
   }
 
+  test("changefeed feed retention: foldFeed is lossless and bounds the dir count") {
+    val work = tmpDir("cfg-fold")
+    val log = s"$work/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 6000, nConversations = 120, chunkSize = 500,
+        dupEvery = 0), log)
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |max_files_per_trigger: 1
+         |routes:
+         |  - name: feed
+         |    target: changefeed
+         |    out_dir: $work/feed
+         |    key_columns: [conv_id, turn_idx]
+         |""".stripMargin
+    val cfgFile = work.resolve("app.yml")
+    java.nio.file.Files.write(cfgFile, yaml.getBytes("UTF-8"))
+    val c = GraftConfig.load(cfgFile.toString)
+    ConfigPipeline.runToCompletion(spark, c)
+    def rows() = ConfigPipeline.readFeed(spark, s"$work/feed").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    def nDirs() = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/feed"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
+      } finally s.close()
+    }
+    val before = rows()
+    assert(before.size == 6000)
+    assert(nDirs() >= 10, s"~12 chunks at 1 file/trigger, got ${nDirs()}")
+    val fc = ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 3).get
+    assert(fc.watermark >= 0 && rows() == before,
+      "fold must be invisible to readFeed")
+    // folded dirs linger one cycle (deferred cleanup for in-flight readers);
+    // the NEXT invocation reclaims them down to the replayable tail
+    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 3)
+    assert(nDirs() == 3, s"deferred cleanup left ${nDirs()} dirs, want 3")
+    assert(rows() == before)
+    // the stream keeps writing after a fold: new epochs land live and
+    // readFeed unions them above the watermark
+    val routes = ConfigPipeline.build(spark, c)
+    val wire = spark.read.schema(Types.changeEventWireSchema).parquet(log)
+      .where(col("epoch_hint") === 0)
+    ConfigPipeline.applyBatch(routes, wire, 99L, c, "test-pipe")
+    assert(rows().size == before.size + wire.count())
+    assert(nDirs() == 4)
+    // fold again over the grown feed: still lossless, still bounded
+    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1)
+    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1)
+    assert(nDirs() == 1)
+    assert(rows().size == before.size + wire.count())
+    // crash window: a folded epoch dir lingering after the commit publish
+    // (cleanup interrupted) must NOT double rows — the watermark filter
+    // excludes it until the next fold reclaims it
+    val fc2 = ConfigPipeline.readFoldCommit(s"$work/feed").get
+    val ghost = java.nio.file.Paths.get(s"$work/feed/epoch=${fc2.watermark}")
+    java.nio.file.Files.createDirectories(ghost)
+    spark.range(1).selectExpr("'gk' AS key", "'gv' AS value")
+      .coalesce(1).write.mode("overwrite").parquet(ghost.toString)
+    assert(rows().size == before.size + wire.count(),
+      "stale folded dir leaked into readFeed")
+    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1)
+    assert(!java.nio.file.Files.exists(ghost), "next fold must reclaim the stale dir")
+    assert(rows().size == before.size + wire.count())
+  }
+
   test("YAML schemas block: mid-stream schema_id bump evolves a lake route's table") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val work = tmpDir("cfg-evo")

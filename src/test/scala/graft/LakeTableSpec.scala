@@ -29,6 +29,31 @@ class LakeTableSpec extends SparkSpec {
   private def state(df: DataFrame): Map[String, String] =
     df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("spark.read.format(\"graft\") facade: snapshot, time travel, prune+filter") {
+    val dir = tmpDir("lt-dsv1").resolve("t").toString
+    val t = LakeTable.create(spark, dir, schema, Seq("k"), Seq("k"), 4)
+    MergeInto.merge(t, batch((OpInsert, 1L, "a", "a1"), (OpInsert, 2L, "b", "b1")), 0)
+    val v1 = t.meta.version
+    MergeInto.merge(t, batch((OpUpdate, 3L, "a", "a2"), (OpDelete, 4L, "b", null)), 1)
+    // external-reader surface: no LakeTable API, just the format name
+    val df = spark.read.format("graft").load(dir)
+    assert(state(df) == Map("a" -> "a2"))
+    assert(state(df) == state(t.snapshot()))
+    // time travel via option
+    assert(state(spark.read.format("graft").option("version", v1.toString).load(dir)) ==
+      Map("a" -> "a1", "b" -> "b1"))
+    // pruned + filtered scan path (PrunedFilteredScan.buildScan)
+    import spark.implicits._
+    assert(df.where($"k" === "a").select("v").as[String].collect().toSeq == Seq("a2"))
+    assert(df.count() == 1)
+    // plain SQL, no Scala API at all
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ext USING graft OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT v FROM graft_ext WHERE k = 'a'").as[String].collect().toSeq
+      == Seq("a2"))
+    intercept[IllegalArgumentException](
+      spark.read.format("graft").load())
+  }
+
   test("time travel: every version reconstructs its exact state") {
     val t = LakeTable.create(spark, tmpDir("lt-tt").resolve("t").toString,
       schema, Seq("k"), Seq("k"), 4)

@@ -48,6 +48,31 @@ class RulesSpec extends SparkSpec {
       Map("a" -> "true", "b" -> "false", "c" -> "true"))
   }
 
+  test("P8 template Go zero-value truthiness (typed); quoted }} inside actions") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 1.5, Seq("x"), true), ("b", 7L, 0.0, Seq.empty[String], false),
+      ("c", 3L, -2.0, null.asInstanceOf[Seq[String]], true))
+      .toDF("k", "n", "d", "tags", "flag")
+      .withColumn("nn", when($"k" === "c", lit(null).cast("long")).otherwise($"n"))
+    def run(tmpl: String): Map[String, String] =
+      df.select($"k", RulePipeline.template(tmpl).as("v"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Go's IsTrue: numeric 0 is FALSY — the string-form test ("0" non-empty)
+    // would silently flip this branch on a ported reference config
+    assert(run("{{if .n}}y{{else}}n{{end}}") == Map("a" -> "n", "b" -> "y", "c" -> "y"))
+    assert(run("{{if .d}}y{{else}}n{{end}}") == Map("a" -> "y", "b" -> "n", "c" -> "y"))
+    // null numeric (Go nil) falsy, like null string
+    assert(run("{{if .nn}}y{{else}}n{{end}}") == Map("a" -> "n", "b" -> "y", "c" -> "n"))
+    // booleans branch on themselves; arrays on emptiness (slice zero value)
+    assert(run("{{if .flag}}y{{else}}n{{end}}") == Map("a" -> "y", "b" -> "n", "c" -> "y"))
+    assert(run("{{if .tags}}y{{else}}n{{end}}") == Map("a" -> "y", "b" -> "n", "c" -> "n"))
+    // and/or route through the same typed truthiness
+    assert(run("{{if and .n .d}}y{{else}}n{{end}}") == Map("a" -> "n", "b" -> "n", "c" -> "y"))
+    // `}}` inside a quoted or raw string does NOT terminate the action
+    assert(run("""{{printf "x}}y"}}!""").values.toSet == Set("x}}y!"))
+    assert(run("{{`a}}b`}}").values.toSet == Set("a}}b"))
+  }
+
   test("P8 template variables and {{range}} over array columns (HOF-compiled)") {
     import spark.implicits._
     val df = Seq(
