@@ -52,15 +52,25 @@ object Main {
       val c = graft.config.GraftConfig.load(cfgPath)
       graft.streaming.ConfigPipeline.runToCompletion(spark, c)
       c.routes.foreach { r =>
-        if (r.target == "lake") {
+        if (r.target == "dynamic") {
+          val names = Option(new java.io.File(r.tablesDir).list())
+            .getOrElse(Array.empty[String]).sorted
+          names.foreach { n =>
+            val t = LakeTable.load(spark, s"${r.tablesDir}/$n")
+            val m = t.refresh()
+            println(s"dynamic table $n: epoch=${m.lastEpoch} " +
+              s"rows=${t.snapshot().count()} v=${m.version}")
+          }
+        } else if (r.target == "lake") {
           val t = LakeTable.load(spark, r.tableDir)
           val m = t.refresh()
           println(s"route ${r.name}: epoch=${m.lastEpoch} offset=${m.lastOffset} " +
             s"rows=${t.snapshot().count()} v=${m.version}")
         } else {
-          // a route whose predicate matched nothing never creates outDir
+          // a route whose predicate matched nothing never creates outDir;
+          // readFeed (not a raw parquet read) so folded history counts too
           val n = if (new java.io.File(r.outDir).exists())
-            spark.read.parquet(r.outDir).count() else 0L
+            graft.streaming.ConfigPipeline.readFeed(spark, r.outDir).count() else 0L
           println(s"route ${r.name}: $n messages at ${r.outDir}")
         }
       }
@@ -106,13 +116,28 @@ object Main {
       val (versionsDropped, filesRemoved) = table.vacuum(keep)
       println(s"vacuum: dropped $versionsDropped versions, removed $filesRemoved data files")
 
+    // dynamic wildcard run: route names discovered from the stream itself;
+    // tables created under <tablesDir>/<name> as their first events arrive
+    // (S6 dynamic half; see DynamicRoutePipeline)
+    case "run-dynamic" :: log :: tablesDir :: cp :: routeCol :: pattern :: _ =>
+      val d = graft.streaming.DynamicRoutePipeline.Config(
+        routeCol, pattern, tablesDir, Types.transcriptKey, Seq("conv_id"))
+      val state = graft.streaming.DynamicRoutePipeline.runToCompletion(
+        spark, d, CdcPipeline.Config(log, cp))
+      state.names.foreach { n =>
+        val t = state.tables(n)
+        val m = t.refresh()
+        println(s"table $n: epoch=${m.lastEpoch} rows=${t.snapshot().count()} v=${m.version}")
+      }
+
     // changefeed feed maintenance — fold old epoch dirs into consolidated
     // parquet (lossless; see ConfigPipeline.foldFeed for the crash/replay
     // contract). The feed-side analog of `compact`.
     case "fold-feed" :: outDir :: rest =>
       val retain = rest.headOption.map(_.toInt).getOrElse(8)
       graft.streaming.ConfigPipeline.foldFeed(spark, outDir, retain) match {
-        case Some(fc) => println(s"folded through epoch=${fc.watermark} into ${fc.dir}; " +
+        case Some(fc) => println(s"folded through epoch=${fc.watermark} " +
+          s"(${fc.dirs.size} generation(s)); " +
           s"${graft.streaming.ConfigPipeline.readFeed(spark, outDir).count()} messages readable")
         case None => println("nothing to fold")
       }
@@ -141,7 +166,7 @@ object Main {
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
-        "usage: gen|init|run|run-config|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|query ...")
+        "usage: gen|init|run|run-config|run-dynamic|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|query ...")
       sys.exit(2)
   }
 }

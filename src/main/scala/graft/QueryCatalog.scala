@@ -251,6 +251,37 @@ object QueryCatalog {
       |  event_id % 2 AS flag
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** P5 WAL-side completion: Postgres logical-decoding text values — bool
+    * `t`/`false`, bytea hex `\x…`, array literal with quoted/escaped/NULL
+    * elements — decoded with [[graft.changelog.PgDecode]] (the reference
+    * decodes MySQL's raw forms at service/endpoint/endpoint.go:90-130; this
+    * covers the WAL sibling of the north star's "binlog / WAL" pair). Raw
+    * text values are derived deterministically from `events`, exactly like
+    * q34 derives its "binlog ints".
+    */
+  def cdcPgDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.changelog.PgDecode._
+    val raw = read(s, dir, "events").select(
+      col("event_id"),
+      when(col("event_id") % 2 === 0, "t").otherwise("false").as("bool_raw"),
+      concat(lit("\\x"), md5(col("event_id").cast("string"))).as("bytea_raw"),
+      concat(lit("{ev"), (col("event_id") % 10).cast("string"),
+        lit(""","x y","a\"b",NULL}""")).as("arr_raw"))
+    raw.select(
+      col("event_id"),
+      decodeBool(col("bool_raw")).as("flag"),
+      lower(hex(decodeBytea(col("bytea_raw")))).as("payload_hex"),
+      to_json(decodeArray(col("arr_raw"))).as("arr_json"))
+      .orderBy("event_id")
+  }
+
+  val cdcPgDecodeSql: String =
+    """SELECT event_id,
+      |  (event_id % 2 = 0) AS flag,
+      |  md5(CAST(event_id AS VARCHAR)) AS payload_hex,
+      |  '["ev' || CAST(event_id % 10 AS VARCHAR) || '","x y","a\"b",null]' AS arr_json
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** K11-K13 changefeed-out message key/action/timestamp (oracle-checkable
     * projection of the MQ message; keyed — unlike the reference's random
     * partitioner — to preserve per-key order).

@@ -63,7 +63,9 @@ object SparkEntry {
     "q34_enum_set_bit" -> (cdcEnumSetBit(_, _)),
     // stateful streaming surface (batch twins; streamed in StreamingExtrasSpec)
     "q35_windowed_rate" -> (windowedRate(_, _)),
-    "q36_sessionize" -> (sessionize(_, _))
+    "q36_sessionize" -> (sessionize(_, _)),
+    // P5 WAL-side completion: Postgres logical-decoding text values
+    "q37_pg_decode" -> (cdcPgDecode(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -99,6 +101,7 @@ object SparkEntry {
     "q33_wildcard_tables" -> wildcardTablesSql,
     "q34_enum_set_bit" -> cdcEnumSetBitSql,
     "q35_windowed_rate" -> windowedRateSql,
-    "q36_sessionize" -> sessionizeSql
+    "q36_sessionize" -> sessionizeSql,
+    "q37_pg_decode" -> cdcPgDecodeSql
   )
 }

@@ -35,11 +35,23 @@ import scala.jdk.CollectionConverters._
   *     ops:                                # optional script-sink analog
   *       - {target: redis, action: SET, key: "concat('u:', conv_id)", value: "text"}
   * }}}
+  *
+  * A wildcard (`include_table_regex`-style) pipeline is one `dynamic` route:
+  * {{{
+  * routes:
+  *   - name: wild
+  *     target: dynamic
+  *     route_col: tool                     # column carrying the table name
+  *     pattern: "tbl_.*"                   # lone * rejected, like the reference
+  *     tables_dir: /data/tables            # tables created under <dir>/<name>
+  *     key_columns: [conv_id, turn_idx]
+  *     snapshot_dir_pattern: "/snap/{table}"  # optional stock handoff
+  * }}}
   */
 final case class RouteConf(
     name: String,
     filter: String = "true",
-    target: String = "lake", // lake | changefeed
+    target: String = "lake", // lake | changefeed | dynamic
     tableDir: String = null,
     outDir: String = null,   // changefeed output
     keyColumns: Seq[String] = Nil,
@@ -47,7 +59,16 @@ final case class RouteConf(
     numBuckets: Int = 32,
     reserveRawData: Boolean = false,
     rule: Rule = Rule(),
-    ops: Seq[ExprOp] = Nil)
+    ops: Seq[ExprOp] = Nil,
+    // dynamic (wildcard) target — the reference's `include_table_regex` UX
+    // (transfer_service.go:197-237) declared in YAML: tables are discovered
+    // from `routeCol` values matching `pattern` mid-stream, created under
+    // `tablesDir/<name>`; `snapshotDirPattern` ("{table}" placeholder)
+    // resolves a pre-existing snapshot for the stock handoff when one exists
+    routeCol: String = null,
+    pattern: String = null,
+    tablesDir: String = null,
+    snapshotDirPattern: String = null)
 
 final case class GraftConfig(
     changelogDir: String,
@@ -59,6 +80,15 @@ final case class GraftConfig(
     autoCompactRatio: Double = 4.0,
     autoCompactMinRows: Long = 200000L,
     allowPipelineTakeover: Boolean = false,
+    // changefeed feed retention (the broker-side message aging the
+    // reference's MQ sinks get for free): every `feedFoldEvery` micro-batches
+    // each changefeed route's out dir is folded asynchronously
+    // (ConfigPipeline.foldFeed — lossless), keeping the newest
+    // `feedRetainEpochs` epoch dirs live. The default cadence never fires in
+    // a short drain but bounds a long-running stream's dir count at
+    // ~cadence + retain without configuration; 0 disables.
+    feedFoldEvery: Long = 256L,
+    feedRetainEpochs: Int = 8,
     routes: Seq[RouteConf] = Nil,
     // optional schema registry: schema_id → row schema (DDL string in YAML).
     // Empty = the built-in transcript registry. The reference refreshes rule
@@ -87,6 +117,8 @@ object GraftConfig {
       autoCompactRatio = dbl(root, "auto_compact_ratio", 4.0),
       autoCompactMinRows = long(root, "auto_compact_min_rows", 200000L),
       allowPipelineTakeover = bool(root, "allow_pipeline_takeover", default = false),
+      feedFoldEvery = long(root, "feed_fold_every", 256L),
+      feedRetainEpochs = int(root, "feed_retain_epochs", 8),
       routes = routes,
       schemas = asMap(root.getOrElse("schemas", null)).map { case (sid, ddl) =>
         sid.trim.toInt ->
@@ -96,7 +128,8 @@ object GraftConfig {
 
   private def parseRoute(m: Map[String, Any]): RouteConf = {
     val target = str(m, "target", default = "lake")
-    require(Set("lake", "changefeed")(target), s"unknown route target: $target")
+    require(Set("lake", "changefeed", "dynamic")(target),
+      s"unknown route target: $target")
     val rc = RouteConf(
       name = str(m, "name", required = true),
       filter = str(m, "filter", default = "true"),
@@ -108,8 +141,21 @@ object GraftConfig {
       numBuckets = int(m, "num_buckets", 32),
       reserveRawData = bool(m, "reserve_raw_data", default = false),
       rule = m.get("rule").map(r => parseRule(asMap(r))).getOrElse(Rule()),
-      ops = list(m, "ops").map(o => parseOp(asMap(o))))
-    if (rc.target == "lake") {
+      ops = list(m, "ops").map(o => parseOp(asMap(o))),
+      routeCol = str(m, "route_col"),
+      pattern = str(m, "pattern"),
+      tablesDir = str(m, "tables_dir"),
+      snapshotDirPattern = str(m, "snapshot_dir_pattern"))
+    if (rc.target == "dynamic") {
+      require(rc.routeCol != null && rc.pattern != null && rc.tablesDir != null,
+        s"route ${rc.name}: dynamic target needs route_col, pattern, tables_dir")
+      require(rc.keyColumns.nonEmpty,
+        s"route ${rc.name}: dynamic target needs key_columns")
+      // fail loudly rather than silently ignore config the dynamic stream
+      // does not apply
+      require(rc.ops.isEmpty && rc.rule == Rule() && rc.filter == "true",
+        s"route ${rc.name}: dynamic target routes whole events — rule/ops/filter unsupported")
+    } else if (rc.target == "lake") {
       require(rc.tableDir != null, s"route ${rc.name}: lake target needs table_dir")
       require(rc.keyColumns.nonEmpty, s"route ${rc.name}: lake target needs key_columns")
     } else {

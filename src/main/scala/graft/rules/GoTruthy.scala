@@ -77,3 +77,37 @@ case class GoTruthy(child: Expression) extends UnaryExpression {
 object GoTruthy {
   def apply(c: Column): Column = Bridge.column(GoTruthy(Bridge.expression(c)))
 }
+
+/** Go's `len` for templates, typed at analysis time like [[GoTruthy]]:
+  * array/map → element count, string → BYTE length (Go strings are byte
+  * slices — `len("héllo")` is 6, not 5). Anything else falls back to the
+  * length of its string form (Go would reject `len 23` at parse time; a
+  * template must not kill a batch, so degrade gracefully). Null → null
+  * (renders "" downstream), matching the engine's null rendering.
+  */
+case class GoLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case _: StringType => input.asInstanceOf[UTF8String].numBytes
+    case _: ArrayType => input.asInstanceOf[ArrayData].numElements
+    case _: MapType => input.asInstanceOf[MapData].numElements
+    case _ => UTF8String.fromString(String.valueOf(input)).numBytes
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => child.dataType match {
+      case _: StringType => s"($v).numBytes()"
+      case _: ArrayType | _: MapType => s"($v).numElements()"
+      case _ =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf($v)).numBytes()"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GoLen =
+    copy(child = newChild)
+  override def prettyName: String = "go_len"
+}
+
+object GoLen {
+  def apply(c: Column): Column = Bridge.column(GoLen(Bridge.expression(c)))
+}

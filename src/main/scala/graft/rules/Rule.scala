@@ -170,7 +170,8 @@ object RulePipeline {
     *     true/false
     *
     * Divergences from Go, documented: `and`/`or` return booleans (not the
-    * first truthy/falsy operand) and `len` measures the string form.
+    * first truthy/falsy operand), and `len` over a non-string non-collection
+    * (which Go rejects at parse time) degrades to string-form length.
     */
   def template(tmpl: String): Column = {
     // ---------------- lex: literal text vs {{action}} ----------------
@@ -281,7 +282,10 @@ object RulePipeline {
         case "and" => TVal(args.map(truthy).reduce(_ && _), bool = true)
         case "or" => TVal(args.map(truthy).reduce(_ || _), bool = true)
         case "not" => TVal(!truthy(args.head), bool = true)
-        case "len" => TVal(length(a.cast("string")))
+        // Go len, typed at analysis time: array/map → elements, string →
+        // bytes (see [[GoLen]]); Go rejects len over other types at parse
+        // time — here they degrade to string-form length
+        case "len" => TVal(GoLen(a))
         // Go is 0-based; try_ variant: out-of-range → null → "" (ANSI
         // element_at would throw, and a template must not kill the batch)
         case "index" => TVal(try_element_at(a, (b + lit(1)).cast("int")))

@@ -48,12 +48,20 @@ final case class GraftRelation(ctx: SQLContext, df: DataFrame)
   // external-Row round trip
   override def needConversion: Boolean = false
 
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
+  /** The delegated plan for one (columns, filters) request — separated from
+    * [[buildScan]] so plan-quality tests can assert that pruning and pushed
+    * filters reach the parquet scans INSIDE the snapshot resolve (the outer
+    * query only shows an opaque row-source scan).
+    */
+  private[graft] def planFor(requiredColumns: Array[String],
+      filters: Array[Filter]): DataFrame = {
     val filtered = filters.flatMap(translate).foldLeft(df)(_ where _)
-    val pruned = filtered.select(requiredColumns.toSeq.map(col): _*)
-    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    filtered.select(requiredColumns.toSeq.map(col): _*)
   }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    planFor(requiredColumns, filters).queryExecution.toRdd.asInstanceOf[RDD[Row]]
 
   /** Best-effort filter translation. DSv1 filters are advisory — Spark
     * re-applies every filter above the scan — so dropping an untranslatable

@@ -162,7 +162,10 @@ object ConfigPipeline {
     readFoldCommit(outDir) match {
       case None => spark.read.parquet(outDir).drop("epoch")
       case Some(fc) =>
-        val folded = spark.read.parquet(s"$outDir/_folded/${fc.dir}").drop("epoch")
+        // ≤ maxGenerations fold dirs by construction — a bounded union
+        val folded = fc.dirs.map(d =>
+          spark.read.parquet(s"$outDir/_folded/$d").drop("epoch"))
+          .reduce(_ unionByName _)
         if (epochDirs(outDir).forall(_._1 <= fc.watermark)) folded
         else folded.unionByName(spark.read.parquet(outDir)
           .where(col("epoch") > fc.watermark).drop("epoch"))
@@ -171,9 +174,10 @@ object ConfigPipeline {
   // ------------------------------------------------------ feed retention
 
   /** Fold pointer: everything at `epoch ≤ watermark` lives consolidated in
-    * `outDir/_folded/<dir>`; the per-epoch dirs above it are live.
+    * the listed generation dirs under `outDir/_folded/` (oldest first); the
+    * per-epoch dirs above the watermark are live.
     */
-  final case class FoldCommit(watermark: Long, dir: String)
+  final case class FoldCommit(watermark: Long, dirs: Seq[String])
 
   private implicit val foldFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
@@ -207,17 +211,50 @@ object ConfigPipeline {
     finally w.close()
   }
 
+  /** Single-flight async fold per out dir — the feed-side analog of
+    * `MergeInto.maybeCompactAsync`: maintenance must not block ingest, and a
+    * fold that outlives its cadence must not stack a second fold on the same
+    * dir. Returns true iff a fold was started.
+    */
+  private val folding = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def maybeFoldFeedAsync(spark: SparkSession, outDir: String,
+      retainLast: Int): Boolean = {
+    if (!folding.add(outDir)) return false
+    val t = new Thread(() =>
+      try foldFeed(spark, outDir, retainLast)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // maintenance best-effort: a failed fold leaves a readable feed
+          // (pointer publish is atomic) and the next cadence retries
+          System.err.println(s"[graft] feed fold of $outDir failed: $e")
+      } finally { folding.remove(outDir); () },
+      s"graft-feed-fold-${outDir.hashCode}")
+    t.setDaemon(true)
+    t.start()
+    true
+  }
+  def awaitFeedFold(): Unit = { while (!folding.isEmpty) Thread.sleep(50) }
+
   /** Changefeed feed maintenance — the retention the reference gets for free
     * from its MQ broker (messages age out of Kafka/RocketMQ by broker
     * policy; a file-based feed has no broker): a long-running 200 ms-trigger
     * stream writes one `epoch=N` dir per micro-batch FOREVER (~13M dirs in a
     * month), and partition discovery degrades with the dir count.
     *
-    * Folds every epoch dir except the newest `retainLast` — plus the
-    * previous fold — into ONE consolidated parquet dir under
-    * `outDir/_folded/`, sized to ~128 MB output files, then atomically
-    * publishes the `_fold.json` pointer. Lossless: [[readFeed]] returns
-    * byte-identical rows before and after.
+    * Folds every epoch dir except the newest `retainLast` into a
+    * consolidated parquet GENERATION under `outDir/_folded/`, sized to
+    * ~128 MB output files, then atomically publishes the `_fold.json`
+    * pointer. Lossless: [[readFeed]] returns byte-identical rows before and
+    * after.
+    *
+    * LSM-style generations keep fold cost O(new data), not O(feed history):
+    * a minor fold writes ONLY the newly folded epochs as a new generation
+    * (earlier generations are untouched); when the generation count would
+    * exceed `maxGenerations`, that fold is MAJOR — it merges every
+    * generation plus the foldable epochs into one dir. Rewriting history
+    * every fold would be quadratic over a long stream's life; the threshold
+    * amortizes the rewrite to ~1/maxGenerations of folds while bounding the
+    * read-side union at maxGenerations relations.
     *
     * Crash/replay safety:
     *   - the stream only ever overwrites the LAST uncommitted epoch on
@@ -234,8 +271,9 @@ object ConfigPipeline {
     *     dir, overwritten or removed by the next run.
     */
   def foldFeed(spark: SparkSession, outDir: String,
-      retainLast: Int = 8): Option[FoldCommit] = {
+      retainLast: Int = 8, maxGenerations: Int = 16): Option[FoldCommit] = {
     require(retainLast >= 1, "retainLast must keep the replayable tail live")
+    require(maxGenerations >= 1, "need at least one generation")
     val prev = readFoldCommit(outDir)
     // deferred cleanup from the previous fold: live dirs its commit already
     // covers, and any fold dir the pointer no longer references
@@ -246,7 +284,7 @@ object ConfigPipeline {
         val s = java.nio.file.Files.list(froot)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.getFileName.toString != p.dir)
+          s.iterator().asScala.filter(d => !p.dirs.contains(d.getFileName.toString))
             .foreach(deleteRec)
         } finally s.close()
       }
@@ -255,24 +293,36 @@ object ConfigPipeline {
     val foldable = live.map(_._1).sorted.dropRight(retainLast)
     if (foldable.isEmpty) return prev
     val w = foldable.max
-    val parts = live.filter(_._1 <= w).map { case (e, p) =>
-      spark.read.parquet(p.toString).withColumn("epoch", lit(e))
-    } ++ prev.map(p => spark.read.parquet(s"$outDir/_folded/${p.dir}"))
-    val all = parts.reduce(_ unionByName _)
+    val prevDirs = prev.map(_.dirs).getOrElse(Nil)
+    val major = prevDirs.size + 1 > maxGenerations
+    // ONE partition-discovered read with an epoch<=w pruning filter — never
+    // a union of per-dir relations, which at the dir counts this operator
+    // exists for (millions of epochs) would explode the plan. Minor folds
+    // read ONLY the foldable epochs; a major fold also re-reads the
+    // existing generations to merge them.
+    val liveRead = spark.read.parquet(outDir)
+      .where(col("epoch") <= w).withColumn("epoch", col("epoch").cast("long"))
+    val genReads = if (major) prevDirs.map(d =>
+      spark.read.parquet(s"$outDir/_folded/$d")
+        .withColumn("epoch", col("epoch").cast("long"))) else Nil
+    val all = (Seq(liveRead) ++ genReads).reduce(_ unionByName _)
     // consolidate toward ~128 MB files (the fold's whole point is undoing
     // per-trigger file shatter); coalesce avoids a shuffle
-    val bytes = live.filter(_._1 <= w).map { case (_, p) =>
+    def dirBytes(p: java.nio.file.Path): Long = {
       val s = java.nio.file.Files.walk(p)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
           .map(java.nio.file.Files.size(_)).sum
       } finally s.close()
-    }.sum
+    }
+    val bytes = live.filter(_._1 <= w).map(d => dirBytes(d._2)).sum +
+      (if (major) prevDirs.map(d =>
+        dirBytes(java.nio.file.Paths.get(outDir, "_folded", d))).sum else 0L)
     val nOut = math.max(1L, math.min(1024L, bytes / (128L << 20) + 1)).toInt
     val dest = s"$outDir/_folded/fold-$w"
     all.coalesce(nOut).write.mode("overwrite").parquet(dest)
-    val fc = FoldCommit(w, s"fold-$w")
+    val fc = FoldCommit(w, (if (major) Nil else prevDirs) :+ s"fold-$w")
     val tmp = java.nio.file.Files.createTempFile(
       java.nio.file.Paths.get(outDir), "._fold", ".tmp")
     java.nio.file.Files.write(tmp,
@@ -283,8 +333,38 @@ object ConfigPipeline {
     Some(fc)
   }
 
+  /** YAML `target: dynamic` route → [[DynamicRoutePipeline]] configs — the
+    * reference's `include_table_regex` UX in the one-file surface
+    * (transfer_service.go:197-237). A dynamic route is its own stream shape
+    * (per-batch discovery), so it must be the config's only route.
+    */
+  def dynamicConfigs(c: GraftConfig): (DynamicRoutePipeline.Config, CdcPipeline.Config) = {
+    require(c.routes.size == 1,
+      "a dynamic route runs as its own stream; declare it alone in the config")
+    val r = c.routes.head
+    val d = DynamicRoutePipeline.Config(
+      r.routeCol, r.pattern, r.tablesDir, r.keyColumns,
+      if (r.bucketColumns.nonEmpty) r.bucketColumns else Seq(r.keyColumns.head),
+      r.numBuckets,
+      snapshotDirFor = n => Option(r.snapshotDirPattern)
+        .map(_.replace("{table}", n))
+        .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
+    val cdc = CdcPipeline.Config(c.changelogDir, c.checkpointDir,
+      maxFilesPerTrigger = c.maxFilesPerTrigger, triggerMs = c.triggerMs,
+      saltedDedup = c.saltedDedup, mergeMode = c.mergeMode,
+      autoCompactRatio = c.autoCompactRatio,
+      autoCompactMinRows = c.autoCompactMinRows,
+      registry = registryOf(c),
+      allowPipelineTakeover = c.allowPipelineTakeover)
+    (d, cdc)
+  }
+
   def start(spark: SparkSession, c: GraftConfig,
       availableNow: Boolean = false): StreamingQuery = {
+    if (c.routes.exists(_.target == "dynamic")) {
+      val (d, cdc) = dynamicConfigs(c)
+      return DynamicRoutePipeline.start(spark, d, cdc, availableNow)._1
+    }
     val routes = build(spark, c)
     val pipelineId = CdcPipeline.resolvePipelineId(c.checkpointDir)
     // default retry knobs; only the retry fields of this config are used
@@ -302,6 +382,11 @@ object ConfigPipeline {
           applyBatch(routes, df, batchId, c, pipelineId))
         routes.foreach(b => if (b.table != null)
           MergeInto.maybeCompactAsync(b.table, c.autoCompactRatio, c.autoCompactMinRows))
+        // feed-side maintenance on its own cadence (fold only ever touches
+        // epochs below the newest `retain`, so it cannot race the writer)
+        if (c.feedFoldEvery > 0 && batchId > 0 && batchId % c.feedFoldEvery == 0)
+          routes.foreach(b => if (b.conf.target != "lake")
+            maybeFoldFeedAsync(spark, b.conf.outDir, c.feedRetainEpochs))
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
@@ -309,7 +394,13 @@ object ConfigPipeline {
   }
 
   def runToCompletion(spark: SparkSession, c: GraftConfig): Unit = {
+    if (c.routes.exists(_.target == "dynamic")) {
+      val (d, cdc) = dynamicConfigs(c)
+      DynamicRoutePipeline.runToCompletion(spark, d, cdc)
+      return
+    }
     start(spark, c, availableNow = true).awaitTermination()
     MergeInto.awaitCompaction()
+    awaitFeedFold()
   }
 }

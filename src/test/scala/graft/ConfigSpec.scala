@@ -153,7 +153,7 @@ class ConfigSpec extends SparkSpec {
     assert(before.size == 6000)
     assert(nDirs() >= 10, s"~12 chunks at 1 file/trigger, got ${nDirs()}")
     val fc = ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 3).get
-    assert(fc.watermark >= 0 && rows() == before,
+    assert(fc.watermark >= 0 && fc.dirs.size == 1 && rows() == before,
       "fold must be invisible to readFeed")
     // folded dirs linger one cycle (deferred cleanup for in-flight readers);
     // the NEXT invocation reclaims them down to the replayable tail
@@ -168,24 +168,74 @@ class ConfigSpec extends SparkSpec {
     ConfigPipeline.applyBatch(routes, wire, 99L, c, "test-pipe")
     assert(rows().size == before.size + wire.count())
     assert(nDirs() == 4)
-    // fold again over the grown feed: still lossless, still bounded
-    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1)
+    // a further fold is MINOR: it writes only the newly folded epochs as a
+    // new generation — the first generation's dir is not rewritten
+    val fc2 = ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1).get
+    assert(fc2.dirs.size == 2 && fc2.dirs.head == fc.dirs.head,
+      s"minor fold must append a generation, got ${fc2.dirs}")
     ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1)
     assert(nDirs() == 1)
     assert(rows().size == before.size + wire.count())
+    // generation threshold: the next fold with maxGenerations=1 is MAJOR —
+    // all generations merge into one dir, still lossless
+    ConfigPipeline.applyBatch(routes, wire, 100L, c, "test-pipe")
+    val fc3 = ConfigPipeline.foldFeed(spark, s"$work/feed",
+      retainLast = 1, maxGenerations = 1).get
+    assert(fc3.dirs.size == 1, s"major fold must merge generations, got ${fc3.dirs}")
+    assert(rows().size == before.size + 2 * wire.count())
     // crash window: a folded epoch dir lingering after the commit publish
     // (cleanup interrupted) must NOT double rows — the watermark filter
     // excludes it until the next fold reclaims it
-    val fc2 = ConfigPipeline.readFoldCommit(s"$work/feed").get
-    val ghost = java.nio.file.Paths.get(s"$work/feed/epoch=${fc2.watermark}")
+    val ghost = java.nio.file.Paths.get(s"$work/feed/epoch=${fc3.watermark}")
     java.nio.file.Files.createDirectories(ghost)
     spark.range(1).selectExpr("'gk' AS key", "'gv' AS value")
       .coalesce(1).write.mode("overwrite").parquet(ghost.toString)
-    assert(rows().size == before.size + wire.count(),
+    assert(rows().size == before.size + 2 * wire.count(),
       "stale folded dir leaked into readFeed")
     ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 1)
     assert(!java.nio.file.Files.exists(ghost), "next fold must reclaim the stale dir")
-    assert(rows().size == before.size + wire.count())
+    assert(rows().size == before.size + 2 * wire.count())
+  }
+
+  test("changefeed auto-fold: retention runs on its own cadence during the stream") {
+    val work = tmpDir("cfg-afold")
+    val log = s"$work/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 6000, nConversations = 120, chunkSize = 250,
+        dupEvery = 0), log)
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |max_files_per_trigger: 1
+         |feed_fold_every: 4
+         |feed_retain_epochs: 2
+         |routes:
+         |  - name: feed
+         |    target: changefeed
+         |    out_dir: $work/feed
+         |    key_columns: [conv_id, turn_idx]
+         |""".stripMargin
+    val cfgFile = work.resolve("app.yml")
+    java.nio.file.Files.write(cfgFile, yaml.getBytes("UTF-8"))
+    val c = GraftConfig.load(cfgFile.toString)
+    assert(c.feedFoldEvery == 4L && c.feedRetainEpochs == 2)
+    ConfigPipeline.runToCompletion(spark, c)
+    def rows() = ConfigPipeline.readFeed(spark, s"$work/feed").count()
+    // ~24 one-file triggers ⇒ the every-4 cadence fired several times; at
+    // least one async fold committed its pointer, and not a message was lost
+    assert(rows() == 6000)
+    assert(ConfigPipeline.readFoldCommit(s"$work/feed").nonEmpty,
+      "auto-fold never committed during the stream")
+    // one more synchronous fold reclaims anything the deferred cleanup left
+    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 2)
+    ConfigPipeline.foldFeed(spark, s"$work/feed", retainLast = 2)
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/feed"))
+    val n = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.count(_.getFileName.toString.startsWith("epoch="))
+    } finally s.close()
+    assert(n == 2, s"feed dirs not bounded: $n live epoch dirs")
+    assert(rows() == 6000)
   }
 
   test("YAML schemas block: mid-stream schema_id bump evolves a lake route's table") {
@@ -245,6 +295,55 @@ class ConfigSpec extends SparkSpec {
     val (miss, extra, diff) = ReferenceOracle.diff(expected, actual)
     assert(miss.isEmpty && extra.isEmpty && diff.isEmpty,
       s"missing=${miss.take(3)} extra=${extra.take(3)} diff=${diff.take(3)}")
+  }
+
+  test("YAML dynamic route: wildcard discovery + stock handoff from config alone") {
+    import spark.implicits._
+    val work = tmpDir("cfg-dyn")
+    val log = s"$work/log"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(log))
+    def ev(pos: Long, conv: String, table: String, text: String) =
+      (pos, 0L, "insert", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2,
+        null: String,
+        s"""{"conv_id":"$conv","turn_idx":0,"role":"user","text":"$text","tool":"$table","ts":"2024-01-01 00:00:00"}""")
+    ((0L until 40L).map(i => ev(i, s"c$i", "tbl_a", "t")) :+
+      ev(100L, "s0", "tbl_s", "changed") :+ ev(101L, "n1", "tbl_s", "fresh"))
+      .toDF("pos", "epoch_hint", "op", "ts", "schema_id", "before", "after")
+      .coalesce(1).write.mode("append").parquet(log)
+    // pre-existing snapshot only for tbl_s (resolved via the {table} pattern)
+    (0 until 5).map(i => (s"s$i", 0L, "user", "snap", "tbl_s",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.parquet(s"$work/snap/tbl_s")
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |routes:
+         |  - name: wild
+         |    target: dynamic
+         |    route_col: tool
+         |    pattern: "tbl_.*"
+         |    tables_dir: $work/tables
+         |    key_columns: [conv_id, turn_idx]
+         |    snapshot_dir_pattern: "$work/snap/{table}"
+         |""".stripMargin
+    val cfgFile = work.resolve("app.yml")
+    java.nio.file.Files.write(cfgFile, yaml.getBytes("UTF-8"))
+    val c = GraftConfig.load(cfgFile.toString)
+    assert(c.routes.head.target == "dynamic" && c.routes.head.pattern == "tbl_.*")
+    ConfigPipeline.runToCompletion(spark, c)
+    val ta = graft.lake.LakeTable.load(spark, s"$work/tables/tbl_a")
+    assert(ta.snapshot().count() == 40)
+    val ts = graft.lake.LakeTable.load(spark, s"$work/tables/tbl_s").snapshot().cache()
+    // stock handoff resolved from the pattern: 5 snapshot keys ∪ 1 new, s0 updated
+    assert(ts.count() == 6, s"want 5 snapshot + 1 new, got ${ts.count()}")
+    assert(ts.where($"conv_id" === "s0").select("text").as[String].head() == "changed")
+    assert(ts.where($"conv_id" === "s3").select("text").as[String].head() == "snap")
+    // validation: dynamic must be alone; rule/ops on dynamic rejected at parse
+    intercept[IllegalArgumentException](ConfigPipeline.dynamicConfigs(c.copy(
+      routes = c.routes :+ c.routes.head.copy(name = "second"))))
+    intercept[IllegalArgumentException](GraftConfig.parse(
+      yaml + "    rule:\n      include_columns: [conv_id]\n"))
   }
 
   test("config parse: defaults, rules, ops, validation") {

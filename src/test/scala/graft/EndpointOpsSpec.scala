@@ -40,6 +40,30 @@ class EndpointOpsSpec extends SparkSpec {
     assert(strBits == Seq(1L, 0L))
   }
 
+  test("PG logical-decoding text values: bool t/f, bytea hex, array literal") {
+    import graft.changelog.{PgDecode, PgTextArray}
+    // bool output forms; garbage → null, never a batch kill
+    val bools = Seq("t", "f", "true", "FALSE", "weird", null)
+      .toDF("v").select(PgDecode.decodeBool($"v"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(bools.toSeq == Seq(true, false, true, false, null, null))
+    // bytea hex output format; non-\x falls back to raw string bytes
+    val bs = Seq("\\x48656c6c6f", "raw").toDF("v")
+      .select(PgDecode.decodeBytea($"v")).collect().map(_.getAs[Array[Byte]](0))
+    assert(new String(bs(0), "UTF-8") == "Hello" && new String(bs(1), "UTF-8") == "raw")
+    // array literal: quoting, backslash escapes, bare NULL, quoted "NULL",
+    // empty array, nested sub-array kept as raw text
+    assert(PgTextArray.parse("""{a,"b c","d\"e",NULL,"NULL"}""").toSeq ==
+      Seq("a", "b c", "d\"e", null, "NULL"))
+    assert(PgTextArray.parse("{}").isEmpty)
+    assert(PgTextArray.parse("{{1,2},{3,4}}").toSeq == Seq("{1,2}", "{3,4}"))
+    intercept[IllegalArgumentException](PgTextArray.parse("not an array"))
+    // as a Column over rows, null elements preserved
+    val arrs = Seq("""{x,"y z",NULL}""").toDF("v")
+      .select(PgDecode.decodeArray($"v")).as[Seq[String]].collect().head
+    assert(arrs == Seq("x", "y z", null))
+  }
+
   test("PointLookup.enrich: per-partition connector lifecycle + row-level hits") {
     EndpointOpsSpec.opens.set(0)
     EndpointOpsSpec.closes.set(0)

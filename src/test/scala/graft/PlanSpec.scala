@@ -155,4 +155,31 @@ class PlanSpec extends SparkSpec {
     assert(scannedFiles.nonEmpty && t.meta.files.exists(_.del))
     assert(snap.collect().map(_.getString(0)).toSet == Set("a"))
   }
+
+  test("read facade: pruning + pushed filters reach the parquet scans inside the resolve") {
+    import spark.implicits._
+    val dir = tmpDir("plan-facade").resolve("t").toString
+    val t = LakeTable.create(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.StringType))),
+      Seq("k"), Seq("k"), 4)
+    MergeInto.merge(t, Seq(("insert", 1L, "a", "v1", "w1"), ("insert", 2L, "b", "v2", "w2"))
+      .toDF("_op", "_pos", "k", "v", "w")
+      .withColumn("_event_ts", lit(null).cast("timestamp")), 0, mode = "cow")
+    val rel = new graft.sources.GraftDataSource()
+      .createRelation(spark.sqlContext, Map("path" -> dir))
+      .asInstanceOf[graft.sources.GraftRelation]
+    val inner = rel.planFor(Array("v"),
+      Array(org.apache.spark.sql.sources.EqualTo("k", "a")))
+    val p = formatted(inner)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    // w is neither selected nor filtered on — it must not be read
+    assert(readSchema.contains("v") && !readSchema.contains("w"),
+      s"facade scan not pruned: $readSchema")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(k,a)"),
+      s"facade filter not pushed:\n$p")
+    assert(inner.collect().map(_.getString(0)).toSeq == Seq("v1"))
+  }
 }

@@ -71,6 +71,12 @@ class RulesSpec extends SparkSpec {
     // `}}` inside a quoted or raw string does NOT terminate the action
     assert(run("""{{printf "x}}y"}}!""").values.toSet == Set("x}}y!"))
     assert(run("{{`a}}b`}}").values.toSet == Set("a}}b"))
+    // Go len is typed too: arrays count ELEMENTS (null renders ""), strings
+    // count BYTES (Go strings are byte slices: len("héllo") = 6)
+    assert(run("{{len .tags}}") == Map("a" -> "1", "b" -> "0", "c" -> ""))
+    assert(df.withColumn("u", lit("héllo"))
+      .select(RulePipeline.template("{{len .u}}").as("v"))
+      .collect().map(_.getString(0)).toSet == Set("6"))
   }
 
   test("P8 template variables and {{range}} over array columns (HOF-compiled)") {
