@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Postgres logical-decoding column-value decodes — the WAL-side sibling of
@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    sub-arrays captured as raw `{...}` text — parsed by a native
   *    expression ([[PgTextArray]]), no UDF. Element typing stays with the
   *    caller (`cast` on the result), mirroring how [[MySqlDecode]] leaves
-  *    label dictionaries to the schema.
+  *    label dictionaries to the schema;
+  *  - hstore: `"k"=>"v", "k2"=>NULL` → map<string,string> ([[PgHstore]]).
   */
 object PgDecode {
 
@@ -49,6 +50,9 @@ object PgDecode {
 
   /** 1-D array text literal → array<string> (null elements preserved). */
   def decodeArray(c: Column): Column = PgTextArray(c)
+
+  /** hstore output format (`"k"=>"v", "k2"=>NULL`) → map<string,string>. */
+  def decodeHstore(c: Column): Column = PgHstore(c)
 }
 
 /** Parser expression for the Postgres array output syntax. One pass over
@@ -76,6 +80,92 @@ case class PgTextArray(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PgTextArray =
     copy(child = newChild)
   override def prettyName: String = "pg_text_array"
+}
+
+/** Parser expression for the hstore output syntax: `"k"=>"v"` pairs,
+  * comma-separated, values either quoted (with backslash escapes) or the
+  * bare word NULL. Same one-pass no-UDF shape as [[PgTextArray]].
+  */
+case class PgHstore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, StringType, valueContainsNull = true)
+  override def checkInputDataTypes() = child.dataType match {
+    case _: StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pg_hstore needs string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    PgHstore.evalUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => {
+      val cls = PgHstore.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"($cls.evalUtf8($c))"
+    })
+  override protected def withNewChildInternal(newChild: Expression): PgHstore =
+    copy(child = newChild)
+  override def prettyName: String = "pg_hstore"
+}
+
+object PgHstore {
+  def apply(c: Column): Column = Bridge.column(PgHstore(Bridge.expression(c)))
+
+  def evalUtf8(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val (ks, vs) = parse(s.toString)
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(ks.map[Any](UTF8String.fromString)),
+      new GenericArrayData(vs.map[Any](v =>
+        if (v == null) null else UTF8String.fromString(v))))
+  }
+
+  /** `"k"=>"v", "k2"=>NULL` → (keys, values); values null for bare NULL. */
+  def parse(s: String): (Array[String], Array[String]) = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    def skipWs(): Unit = while (i < n && s.charAt(i).isWhitespace) i += 1
+    def quoted(): String = {
+      require(i < n && s.charAt(i) == '"', s"expected quote at $i in hstore: $s")
+      i += 1
+      val sb = new StringBuilder
+      var closed = false
+      while (i < n && !closed) {
+        val ch = s.charAt(i)
+        if (ch == '\\' && i + 1 < n) { sb.append(s.charAt(i + 1)); i += 2 }
+        else if (ch == '"') { closed = true; i += 1 }
+        else { sb.append(ch); i += 1 }
+      }
+      require(closed, s"unterminated quote in hstore: $s")
+      sb.result()
+    }
+    skipWs()
+    while (i < n) {
+      keys += quoted()
+      skipWs()
+      require(i + 1 < n && s.charAt(i) == '=' && s.charAt(i + 1) == '>',
+        s"expected => at $i in hstore: $s")
+      i += 2
+      skipWs()
+      if (i < n && s.charAt(i) == '"') vals += quoted()
+      else {
+        val j0 = i
+        while (i < n && s.charAt(i) != ',' && !s.charAt(i).isWhitespace) i += 1
+        val bare = s.substring(j0, i)
+        require(bare.equalsIgnoreCase("NULL"),
+          s"unquoted hstore value must be NULL, got '$bare' in: $s")
+        vals += null
+      }
+      skipWs()
+      if (i < n) {
+        require(s.charAt(i) == ',', s"expected , at $i in hstore: $s")
+        i += 1
+        skipWs()
+      }
+    }
+    (keys.toArray, vals.toArray)
+  }
 }
 
 object PgTextArray {

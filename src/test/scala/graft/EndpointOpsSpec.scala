@@ -62,6 +62,15 @@ class EndpointOpsSpec extends SparkSpec {
     val arrs = Seq("""{x,"y z",NULL}""").toDF("v")
       .select(PgDecode.decodeArray($"v")).as[Seq[String]].collect().head
     assert(arrs == Seq("x", "y z", null))
+    // hstore output format → map, null values and escapes preserved
+    import graft.changelog.PgHstore
+    val (ks, vs) = PgHstore.parse(""""a"=>"1", "b"=>NULL, "c d"=>"e\"f"""")
+    assert(ks.toSeq == Seq("a", "b", "c d") && vs.toSeq == Seq("1", null, "e\"f"))
+    assert(PgHstore.parse("")._1.isEmpty)
+    intercept[IllegalArgumentException](PgHstore.parse(""""k"=>oops"""))
+    val hm = Seq(""""x"=>"1","y"=>NULL""").toDF("v")
+      .select(PgDecode.decodeHstore($"v")).as[Map[String, String]].collect().head
+    assert(hm == Map("x" -> "1", "y" -> null))
   }
 
   test("PointLookup.enrich: per-partition connector lifecycle + row-level hits") {

@@ -36,6 +36,29 @@ class PropertySpec extends SparkSpec {
     }.toList
   }
 
+  test("PgTextArray round-trips arbitrary elements under PG quoting rules") {
+    val rnd = new Random(2024)
+    val alphabet = """ab"\{},NULL xyz 	"""
+    (0 until 300).foreach { _ =>
+      val elems = (0 until rnd.nextInt(8)).map { _ =>
+        if (rnd.nextInt(5) == 0) null
+        else (0 until rnd.nextInt(12))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      // PG output always quotes when in doubt; always-quoting is valid
+      val lit = elems.map {
+        case null => "NULL"
+        case e => "\"" + e.flatMap {
+          case '\\' => "\\\\"
+          case '"' => "\\\""
+          case c => c.toString
+        } + "\""
+      }.mkString("{", ",", "}")
+      val parsed = graft.changelog.PgTextArray.parse(lit).toSeq
+      assert(parsed == elems, s"lit=$lit parsed=$parsed want=$elems")
+    }
+  }
+
   private def foldOracle(evs: Seq[Ev]): Map[String, String] =
     evs.sortBy(e => (e.pos, opRank(e.op))).foldLeft(Map.empty[String, String]) {
       case (m, Ev(OpDelete, _, k, _)) => m - k
