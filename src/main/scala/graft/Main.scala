@@ -53,8 +53,11 @@ object Main {
       graft.streaming.ConfigPipeline.runToCompletion(spark, c)
       c.routes.foreach { r =>
         if (r.target == "dynamic") {
+          // stray files / half-created dirs in tablesDir are not tables —
+          // don't let the summary crash a run that succeeded
           val names = Option(new java.io.File(r.tablesDir).list())
             .getOrElse(Array.empty[String]).sorted
+            .filter(n => LakeTable.exists(s"${r.tablesDir}/$n"))
           names.foreach { n =>
             val t = LakeTable.load(spark, s"${r.tablesDir}/$n")
             val m = t.refresh()

@@ -473,33 +473,47 @@ object QueryCatalog {
     * not 128×. Valid because the normalized text is ASCII (ord == byte); a
     * non-ASCII corpus would need blob-level bytes DuckDB 1.0 can't index.
     */
+  // --- shared DuckDB emulation of the engine's FNV+splitmix64 hash chain,
+  // used by BOTH the q20 and q22 oracles so the magic constants can never
+  // drift between them ---
+  private val duckMod64 = "18446744073709551616::HUGEINT" // 2^64
+  private def duckMulMod(hi: Long, lo: Long): String =
+    s"(h * $lo::HUGEINT + ((h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $duckMod64"
+  /** FNV-1a-style fold over a HUGEINT byte list. */
+  private def duckFnv(bytes: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $bytes),
+       |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $duckMod64)""".stripMargin
+  /** splitmix64 finalize as a list_reduce over step markers; `signed` adds
+    * step 7 = reinterpretation to the engine's signed long domain.
+    */
+  private def duckFinalize(fnv: String, signed: Boolean): String = {
+    val steps = if (signed) "[1,2,3,4,5,6,7]" else "[1,2,3,4,5,6]"
+    val tail =
+      if (signed)
+        s"""|        WHEN 6 THEN xor(h, h // 2147483648::HUGEINT)
+            |        ELSE CASE WHEN h >= 9223372036854775808::HUGEINT
+            |             THEN h - $duckMod64 ELSE h END""".stripMargin
+      else "        ELSE xor(h, h // 2147483648::HUGEINT)"
+    s"""list_reduce(list_prepend($fnv, $steps::HUGEINT[]),
+       |      (h, s) -> CASE s::BIGINT
+       |        WHEN 1 THEN (h + 11400714819323198485::HUGEINT) % $duckMod64
+       |        WHEN 2 THEN xor(h, h // 1073741824::HUGEINT)
+       |        WHEN 3 THEN ${duckMulMod(3210233709L, 484763065L)}
+       |        WHEN 4 THEN xor(h, h // 134217728::HUGEINT)
+       |        WHEN 5 THEN ${duckMulMod(2496678331L, 321982955L)}
+       |$tail
+       |      END)""".stripMargin
+  }
+
   val docFingerprintRollingSql: String = {
-    val mod = "18446744073709551616::HUGEINT" // 2^64
-    def mulmod(hi: Long, lo: Long) =
-      s"(h * $lo::HUGEINT + ((h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $mod"
-    def finalize(fnv: String) =
-      s"""list_reduce(list_prepend($fnv, [1,2,3,4,5,6,7]::HUGEINT[]),
-         |      (h, s) -> CASE s::BIGINT
-         |        WHEN 1 THEN (h + 11400714819323198485::HUGEINT) % $mod
-         |        WHEN 2 THEN xor(h, h // 1073741824::HUGEINT)
-         |        WHEN 3 THEN ${mulmod(3210233709L, 484763065L)}
-         |        WHEN 4 THEN xor(h, h // 134217728::HUGEINT)
-         |        WHEN 5 THEN ${mulmod(2496678331L, 321982955L)}
-         |        WHEN 6 THEN xor(h, h // 2147483648::HUGEINT)
-         |        ELSE CASE WHEN h >= 9223372036854775808::HUGEINT
-         |             THEN h - $mod ELSE h END
-         |      END)""".stripMargin
-    def fnvOver(bytes: String) =
-      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $bytes),
-         |      (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $mod)""".stripMargin
     val winBytes = "[ord(t[i+j])::HUGEINT FOR j IN range(0, 8)]"
     val allBytes = "[ord(t[i])::HUGEINT FOR i IN range(1, length(t)+1)]"
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents)
        |SELECT doc_id,
-       |  (CASE WHEN length(t) < 8 THEN ${finalize(fnvOver(allBytes))}
-       |   ELSE list_min([${finalize(fnvOver(winBytes))}
+       |  (CASE WHEN length(t) < 8 THEN ${duckFinalize(duckFnv(allBytes), signed = true)}
+       |   ELSE list_min([${duckFinalize(duckFnv(winBytes), signed = true)}
        |     FOR i IN range(1, length(t) - 6)]) END)::BIGINT AS fp64
        |FROM norm ORDER BY doc_id""".stripMargin
   }
@@ -557,23 +571,8 @@ object QueryCatalog {
     * scan uses DuckDB's native xor + bit_count on the signed sigs.
     */
   val docSimhashPairsSql: String = {
-    val mod = "18446744073709551616::HUGEINT"
-    def mulmod(hi: Long, lo: Long) =
-      s"(h * $lo::HUGEINT + ((h * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $mod"
-    val tokenHash =
-      s"""list_reduce(list_prepend(
-         |      list_reduce(list_prepend(14695981039346656037::HUGEINT,
-         |        [ord(tok[i])::HUGEINT FOR i IN range(1, length(tok)+1)]),
-         |        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % $mod),
-         |      [1,2,3,4,5,6]::HUGEINT[]),
-         |    (h, s) -> CASE s::BIGINT
-         |      WHEN 1 THEN (h + 11400714819323198485::HUGEINT) % $mod
-         |      WHEN 2 THEN xor(h, h // 1073741824::HUGEINT)
-         |      WHEN 3 THEN ${mulmod(3210233709L, 484763065L)}
-         |      WHEN 4 THEN xor(h, h // 134217728::HUGEINT)
-         |      WHEN 5 THEN ${mulmod(2496678331L, 321982955L)}
-         |      ELSE xor(h, h // 2147483648::HUGEINT)
-         |    END)""".stripMargin
+    val tokenHash = duckFinalize(duckFnv(
+      "[ord(tok[i])::HUGEINT FOR i IN range(1, length(tok)+1)]"), signed = false)
     s"""WITH norm AS (
        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
        |  FROM documents
@@ -590,7 +589,7 @@ object QueryCatalog {
        |), signed AS (
        |  SELECT doc_id,
        |    (CASE WHEN usig >= 9223372036854775808::HUGEINT
-       |          THEN usig - $mod ELSE usig END)::BIGINT AS sig
+       |          THEN usig - $duckMod64 ELSE usig END)::BIGINT AS sig
        |  FROM sigs)
        |SELECT a.doc_id AS idA, b.doc_id AS idB,
        |       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming

@@ -63,6 +63,8 @@ object PgDecode {
   */
 case class PgTextArray(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  // malformed input → null (fail-soft, like decodeBool), so always nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
     case _: StringType =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -71,11 +73,14 @@ case class PgTextArray(child: Expression) extends UnaryExpression {
         s"pg_text_array needs string, got $other")
   }
   override def nullSafeEval(input: Any): Any =
-    PgTextArray.evalUtf8(input.asInstanceOf[UTF8String])
+    PgTextArray.evalUtf8OrNull(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => {
+    nullSafeCodeGen(ctx, ev, c => {
       val cls = PgTextArray.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"($cls.evalUtf8($c))"
+      s"""
+        ${ev.value} = $cls.evalUtf8OrNull($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """
     })
   override protected def withNewChildInternal(newChild: Expression): PgTextArray =
     copy(child = newChild)
@@ -89,6 +94,8 @@ case class PgTextArray(child: Expression) extends UnaryExpression {
 case class PgHstore(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     MapType(StringType, StringType, valueContainsNull = true)
+  // malformed input → null (fail-soft, like decodeBool), so always nullable
+  override def nullable: Boolean = true
   override def checkInputDataTypes() = child.dataType match {
     case _: StringType =>
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -97,11 +104,14 @@ case class PgHstore(child: Expression) extends UnaryExpression {
         s"pg_hstore needs string, got $other")
   }
   override def nullSafeEval(input: Any): Any =
-    PgHstore.evalUtf8(input.asInstanceOf[UTF8String])
+    PgHstore.evalUtf8OrNull(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => {
+    nullSafeCodeGen(ctx, ev, c => {
       val cls = PgHstore.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"($cls.evalUtf8($c))"
+      s"""
+        ${ev.value} = $cls.evalUtf8OrNull($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """
     })
   override protected def withNewChildInternal(newChild: Expression): PgHstore =
     copy(child = newChild)
@@ -110,6 +120,15 @@ case class PgHstore(child: Expression) extends UnaryExpression {
 
 object PgHstore {
   def apply(c: Column): Column = Bridge.column(PgHstore(Bridge.expression(c)))
+
+  /** Row-evaluation entry: malformed hstore text → null, never a batch
+    * kill (one corrupt WAL value in a million-row micro-batch must not
+    * abort the stream — [[PgDecode.decodeBool]]'s contract). [[parse]]
+    * itself stays strict so tests and callers can diagnose.
+    */
+  def evalUtf8OrNull(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData =
+    try evalUtf8(s)
+    catch { case _: IllegalArgumentException => null }
 
   def evalUtf8(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
     val (ks, vs) = parse(s.toString)
@@ -172,6 +191,13 @@ object PgTextArray {
   def apply(c: Column): Column = Bridge.column(PgTextArray(Bridge.expression(c)))
 
   /** codegen entry point. */
+  /** Row-evaluation entry: malformed array text → null (see [[PgHstore
+    * .evalUtf8OrNull]]); [[parse]] stays strict for tests and callers.
+    */
+  def evalUtf8OrNull(s: UTF8String): ArrayData =
+    try evalUtf8(s)
+    catch { case _: IllegalArgumentException => null }
+
   def evalUtf8(s: UTF8String): ArrayData = {
     val parsed = parse(s.toString)
     new GenericArrayData(parsed.map[Any](e =>
@@ -204,13 +230,27 @@ object PgTextArray {
         }
         require(closed, s"unterminated quoted element in $s")
       } else if (i < n && body.charAt(i) == '{') {
-        // nested sub-array: keep the balanced raw text as one element
+        // nested sub-array: keep the balanced raw text as one element.
+        // Braces inside the sub-array's QUOTED elements (e.g. {"x}y"}) are
+        // data, not structure — skip quoted sections while counting depth
         var depth = 0
         var first = true
         while (i < n && (depth > 0 || first)) {
           val ch = body.charAt(i)
-          if (ch == '{') depth += 1 else if (ch == '}') depth -= 1
-          sb.append(ch); i += 1; first = false
+          if (ch == '"') {
+            sb.append(ch); i += 1
+            var closed = false
+            while (i < n && !closed) {
+              val qc = body.charAt(i)
+              if (qc == '\\' && i + 1 < n) { sb.append(qc).append(body.charAt(i + 1)); i += 2 }
+              else { sb.append(qc); i += 1; if (qc == '"') closed = true }
+            }
+            require(closed, s"unterminated quote in nested array of $s")
+          } else {
+            if (ch == '{') depth += 1 else if (ch == '}') depth -= 1
+            sb.append(ch); i += 1
+          }
+          first = false
         }
         require(depth == 0, s"unbalanced braces in $s")
       } else {

@@ -107,6 +107,10 @@ object GraftConfig {
     val root = asMap(yaml.load[Any](yamlText))
     val routes = list(root, "routes").map(r => parseRoute(asMap(r)))
     require(routes.nonEmpty, "config needs at least one route")
+    val retain = int(root, "feed_retain_epochs", 8)
+    // fail at parse time, not in every background fold thread forever
+    require(retain >= 1,
+      "feed_retain_epochs must be ≥ 1 (the replayable tail must stay live)")
     GraftConfig(
       changelogDir = str(root, "changelog_dir", required = true),
       checkpointDir = str(root, "checkpoint_dir", required = true),
@@ -118,7 +122,7 @@ object GraftConfig {
       autoCompactMinRows = long(root, "auto_compact_min_rows", 200000L),
       allowPipelineTakeover = bool(root, "allow_pipeline_takeover", default = false),
       feedFoldEvery = long(root, "feed_fold_every", 256L),
-      feedRetainEpochs = int(root, "feed_retain_epochs", 8),
+      feedRetainEpochs = retain,
       routes = routes,
       schemas = asMap(root.getOrElse("schemas", null)).map { case (sid, ddl) =>
         sid.trim.toInt ->

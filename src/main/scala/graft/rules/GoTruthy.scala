@@ -2,9 +2,10 @@ package graft.rules
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Length, OctetLength, RuntimeReplaceable, Size, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -81,28 +82,22 @@ object GoTruthy {
 /** Go's `len` for templates, typed at analysis time like [[GoTruthy]]:
   * array/map → element count, string → BYTE length (Go strings are byte
   * slices — `len("héllo")` is 6, not 5). Anything else falls back to the
-  * length of its string form (Go would reject `len 23` at parse time; a
-  * template must not kill a batch, so degrade gracefully). Null → null
-  * (renders "" downstream), matching the engine's null rendering.
+  * length of its RENDERED string form via Spark's own cast (so a timestamp
+  * measures "2024-01-01 00:00:00", not its internal micros; Go would
+  * reject `len 23` at parse time — a template must not kill a batch, so
+  * degrade gracefully). Null → null (renders "" downstream).
+  *
+  * RuntimeReplaceable: the dispatch rewrites to existing codegen'd
+  * expressions (octet_length / size / length∘cast) at optimization time —
+  * no custom eval path to maintain.
   */
-case class GoLen(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = IntegerType
-
-  override def nullSafeEval(input: Any): Any = child.dataType match {
-    case _: StringType => input.asInstanceOf[UTF8String].numBytes
-    case _: ArrayType => input.asInstanceOf[ArrayData].numElements
-    case _: MapType => input.asInstanceOf[MapData].numElements
-    case _ => UTF8String.fromString(String.valueOf(input)).numBytes
+case class GoLen(child: Expression) extends RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType => OctetLength(child)
+    case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+    case _ => Length(Cast(child, org.apache.spark.sql.types.StringType))
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => child.dataType match {
-      case _: StringType => s"($v).numBytes()"
-      case _: ArrayType | _: MapType => s"($v).numElements()"
-      case _ =>
-        s"org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf($v)).numBytes()"
-    })
-
   override protected def withNewChildInternal(newChild: Expression): GoLen =
     copy(child = newChild)
   override def prettyName: String = "go_len"

@@ -31,19 +31,32 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source needs a table dir: .load(dir) or option(\"path\", dir)"))
-    val table = LakeTable.load(ctx.sparkSession, path)
-    val df = parameters.get("version") match {
-      case Some(v) => table.snapshotAt(v.toInt)
-      case None => table.snapshot()
-    }
-    GraftRelation(ctx, df)
+    // validate eagerly (a bad path should fail at CREATE, not first SELECT)
+    LakeTable.load(ctx.sparkSession, path)
+    GraftRelation(ctx, path, parameters.get("version").map(_.toInt))
   }
 }
 
-final case class GraftRelation(ctx: SQLContext, df: DataFrame)
-    extends BaseRelation with PrunedFilteredScan {
+final case class GraftRelation(ctx: SQLContext, path: String,
+    version: Option[Int]) extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = ctx
-  override def schema: StructType = df.schema
+
+  /** Resolve the snapshot at READ time, not relation-creation time: a
+    * persistent/temp view over the format caches this relation, and a CDC
+    * table keeps merging underneath it — each scan must see the latest
+    * committed version (time travel pins one explicitly via `version`).
+    */
+  private def resolve(): DataFrame = {
+    val table = LakeTable.load(ctx.sparkSession, path)
+    version match {
+      case Some(v) => table.snapshotAt(v)
+      case None => table.snapshot()
+    }
+  }
+
+  // the declared shape is pinned at creation (schema evolution needs a view
+  // refresh, as with any catalog relation)
+  override val schema: StructType = resolve().schema
   // buildScan returns the snapshot plan's InternalRows directly — no
   // external-Row round trip
   override def needConversion: Boolean = false
@@ -55,7 +68,7 @@ final case class GraftRelation(ctx: SQLContext, df: DataFrame)
     */
   private[graft] def planFor(requiredColumns: Array[String],
       filters: Array[Filter]): DataFrame = {
-    val filtered = filters.flatMap(translate).foldLeft(df)(_ where _)
+    val filtered = filters.flatMap(translate).foldLeft(resolve())(_ where _)
     filtered.select(requiredColumns.toSeq.map(col): _*)
   }
 

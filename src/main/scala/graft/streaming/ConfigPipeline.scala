@@ -57,6 +57,9 @@ object ConfigPipeline {
     * service/transfer_service.go:298-326) via the per-route output registry.
     */
   def build(spark: SparkSession, c: GraftConfig): Seq[Built] = {
+    // config-string expressions (rule filter/computed, ops) may call the
+    // engine's custom SQL functions (pg_text_array, rolling_min64, …)
+    graft.functions.GraftFunctions.register(spark)
     val registry = registryOf(c)
     c.routes.map { r =>
       if (r.target != "lake") Built(r, null)
@@ -135,6 +138,17 @@ object ConfigPipeline {
             // parquet mixed with partition dirs — unreadable by any
             // partition-discovering reader — so fail fast with a pointer
             // instead of corrupting the feed.
+            // a RESET checkpoint against an existing folded feed restarts
+            // batchIds at 0: epochs at/below the fold watermark would be
+            // hidden by readFeed's pruning filter and then DELETED by the
+            // next fold's deferred cleanup — fail fast like the flat-layout
+            // guard below instead of silently losing new messages
+            readFoldCommit(b.conf.outDir).foreach(fc =>
+              require(epoch > fc.watermark,
+                s"route ${b.conf.name}: epoch $epoch is at/below the feed's " +
+                  s"fold watermark ${fc.watermark} — the checkpoint was reset " +
+                  "against an existing feed; use a fresh out_dir, or clear " +
+                  "_fold.json + _folded after verifying the overlap"))
             val outRoot = java.nio.file.Paths.get(b.conf.outDir)
             if (java.nio.file.Files.isDirectory(outRoot)) {
               val flat = java.nio.file.Files.list(outRoot)
@@ -203,13 +217,8 @@ object ConfigPipeline {
     } finally s.close()
   }
 
-  private def deleteRec(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    val w = java.nio.file.Files.walk(p)
-    try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-    finally w.close()
-  }
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    graft.changelog.ChangelogGenerator.deleteRecursively(p)
 
   /** Single-flight async fold per out dir — the feed-side analog of
     * `MergeInto.maybeCompactAsync`: maintenance must not block ingest, and a

@@ -346,6 +346,30 @@ class ConfigSpec extends SparkSpec {
       yaml + "    rule:\n      include_columns: [conv_id]\n"))
   }
 
+  test("custom SQL functions reach the config expression surface") {
+    val work = tmpDir("cfg-fn")
+    // building ANY config registers the engine's custom functions, so YAML
+    // computed/filter/ops strings can call them
+    val yaml =
+      s"""changelog_dir: $work/log
+         |checkpoint_dir: $work/cp
+         |routes:
+         |  - name: f
+         |    target: changefeed
+         |    out_dir: $work/feed
+         |    key_columns: [conv_id]
+         |""".stripMargin
+    ConfigPipeline.build(spark, GraftConfig.parse(yaml))
+    val row = spark.sql(
+      """SELECT pg_text_array('{a,"b c",NULL}') AS a, pg_bool('t') AS b,
+        |go_len('héllo') AS l, pg_hstore('"k"=>"v"') AS h,
+        |rolling_min64('abcdefgh stable', 8) AS r""".stripMargin).head()
+    assert(row.getSeq[String](0) == Seq("a", "b c", null))
+    assert(row.getBoolean(1) && row.getInt(2) == 6)
+    assert(row.getMap[String, String](3).toMap == Map("k" -> "v"))
+    assert(!row.isNullAt(4))
+  }
+
   test("config parse: defaults, rules, ops, validation") {
     val c = GraftConfig.parse(
       """changelog_dir: /x/log

@@ -71,6 +71,14 @@ class EndpointOpsSpec extends SparkSpec {
     val hm = Seq(""""x"=>"1","y"=>NULL""").toDF("v")
       .select(PgDecode.decodeHstore($"v")).as[Map[String, String]].collect().head
     assert(hm == Map("x" -> "1", "y" -> null))
+    // fail-soft at ROW level: one corrupt WAL value must not kill the batch
+    // (parse stays strict above; the expressions map garbage to null)
+    val soft = Seq("not an array").toDF("v")
+      .select(PgDecode.decodeArray($"v"), PgDecode.decodeHstore($"v")).collect().head
+    assert(soft.isNullAt(0) && soft.isNullAt(1))
+    // 2-D arrays whose quoted elements contain braces stay intact
+    assert(PgTextArray.parse("""{{"x}y","a"},{"{b"}}""").toSeq ==
+      Seq("""{"x}y","a"}""", """{"{b"}"""))
   }
 
   test("PointLookup.enrich: per-partition connector lifecycle + row-level hits") {

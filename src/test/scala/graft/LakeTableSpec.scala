@@ -50,6 +50,10 @@ class LakeTableSpec extends SparkSpec {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ext USING graft OPTIONS (path '$dir')")
     assert(spark.sql("SELECT v FROM graft_ext WHERE k = 'a'").as[String].collect().toSeq
       == Seq("a2"))
+    // the cached view stays FRESH: the snapshot resolves at read time, so a
+    // merge landing after CREATE VIEW is visible to the next SELECT
+    MergeInto.merge(t, batch((OpInsert, 5L, "c", "c1")), 2)
+    assert(spark.sql("SELECT count(*) FROM graft_ext").head().getLong(0) == 2)
     intercept[IllegalArgumentException](
       spark.read.format("graft").load())
   }
