@@ -122,9 +122,15 @@ object Main {
     // dynamic wildcard run: route names discovered from the stream itself;
     // tables created under <tablesDir>/<name> as their first events arrive
     // (S6 dynamic half; see DynamicRoutePipeline)
-    case "run-dynamic" :: log :: tablesDir :: cp :: routeCol :: pattern :: _ =>
+    case "run-dynamic" :: log :: tablesDir :: cp :: routeCol :: pattern :: rest =>
+      // optional 6th arg: snapshot dir pattern with {table} placeholder —
+      // the stock handoff for late-discovered tables (same as the YAML
+      // route's snapshot_dir_pattern)
+      val snapPattern = rest.headOption
       val d = graft.streaming.DynamicRoutePipeline.Config(
-        routeCol, pattern, tablesDir, Types.transcriptKey, Seq("conv_id"))
+        routeCol, pattern, tablesDir, Types.transcriptKey, Seq("conv_id"),
+        snapshotDirFor = n => snapPattern.map(_.replace("{table}", n))
+          .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))))
       val state = graft.streaming.DynamicRoutePipeline.runToCompletion(
         spark, d, CdcPipeline.Config(log, cp))
       state.names.foreach { n =>

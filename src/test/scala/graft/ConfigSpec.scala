@@ -368,6 +368,10 @@ class ConfigSpec extends SparkSpec {
     assert(row.getBoolean(1) && row.getInt(2) == 6)
     assert(row.getMap[String, String](3).toMap == Map("k" -> "v"))
     assert(!row.isNullAt(4))
+    // the spark.sql.extensions entry point injects without error (the
+    // builder set is the same one exercised above)
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
   test("config parse: defaults, rules, ops, validation") {
