@@ -161,6 +161,17 @@ object Main {
       table.lineage().orderBy(org.apache.spark.sql.functions.desc("epoch"))
         .show(10, truncate = false)
 
+    // ad-hoc SQL against the session (the engine's custom functions are
+    // registered first, so `pg_text_array` / `rolling_min64` / … work here
+    // and — via spark.sql.extensions=graft.GraftExtensions — in any
+    // external spark-submit session)
+    case "sql" :: stmt :: _ =>
+      // SPARK_GRAFT_NO_REGISTER: verification hook — resolve the functions
+      // through spark.sql.extensions injection alone
+      if (!sys.env.contains("SPARK_GRAFT_NO_REGISTER"))
+        graft.functions.GraftFunctions.register(spark)
+      spark.sql(stmt).show(20, truncate = false)
+
     // run one catalog query N times against an sf dir (profiling/bench aid)
     case "query" :: name :: sfDir :: rest =>
       val reps = rest.headOption.map(_.toInt).getOrElse(1)
@@ -175,7 +186,7 @@ object Main {
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
-        "usage: gen|init|run|run-config|run-dynamic|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|query ...")
+        "usage: gen|init|run|run-config|run-dynamic|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|sql|query ...")
       sys.exit(2)
   }
 }

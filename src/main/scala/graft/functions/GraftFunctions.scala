@@ -2,8 +2,7 @@ package graft.functions
 
 import graft.changelog.{PgHstore, PgTextArray}
 import graft.rules.{GoLen, GoTruthy}
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, StringType}
 
@@ -49,7 +48,7 @@ object GraftFunctions {
       Cast(s, BinaryType))
   }
 
-  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     one("pg_text_array")(PgTextArray(_)),
     one("pg_hstore")(PgHstore(_)),
     one("pg_bool")(pgBoolExpr),
@@ -74,13 +73,3 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point — injects the same builder set as
-  * [[GraftFunctions.register]] at session build.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.builders.foreach { case (name, b) =>
-      ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.GraftFunctions", name), b))
-    }
-}

@@ -370,7 +370,7 @@ class ConfigSpec extends SparkSpec {
     assert(!row.isNullAt(4))
     // the spark.sql.extensions entry point injects without error (the
     // builder set is the same one exercised above)
-    new graft.functions.GraftExtensions()
+    new graft.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
