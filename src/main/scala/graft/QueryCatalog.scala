@@ -630,6 +630,50 @@ object QueryCatalog {
       |  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus-level summary a training-data pipeline reports before a run:
+    * volume, exact token-count distribution, and the unique-content ratio
+    * (distinct q19 fingerprints). Scale shape: ONE aggregation — map-side
+    * partial agg over the scan, a single exchange carrying per-partition
+    * partials (percentile buffers of int counts, a handful of sums); no
+    * row ever leaves its partition unaggregated.
+    */
+  def docCorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    read(s, dir, "documents").select(
+      TextFunctions.tokenCount(t).as("n_tokens"),
+      length(t).as("n_chars"),
+      TextFunctions.fingerprintMd5(t).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 6).as("avg_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_chars").as("total_chars"),
+        countDistinct(col("fp")).as("n_unique"))
+  }
+
+  /** Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * definition (rank p·(n−1) on the sorted values, linear interpolation),
+    * so the distribution stats oracle exactly; round(…,6) guards the float
+    * rendering on both sides.
+    */
+  val docCorpusStatsSql: String =
+    """WITH d AS (
+      |  SELECT CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |    length(text) AS n_chars,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |  round(avg(n_tokens), 6) AS avg_tokens,
+      |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+      |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+      |  max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars,
+      |  count(DISTINCT fp) AS n_unique
+      |FROM d""".stripMargin
+
   /** Quality features + heuristic language ID — deterministic arithmetic,
     * so fully DuckDB-oracled.
     */

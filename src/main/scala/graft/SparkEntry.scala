@@ -65,7 +65,9 @@ object SparkEntry {
     "q35_windowed_rate" -> (windowedRate(_, _)),
     "q36_sessionize" -> (sessionize(_, _)),
     // P5 WAL-side completion: Postgres logical-decoding text values
-    "q37_pg_decode" -> (cdcPgDecode(_, _))
+    "q37_pg_decode" -> (cdcPgDecode(_, _)),
+    // corpus-level pre-training summary (volume, token distribution, uniques)
+    "q38_corpus_stats" -> (docCorpusStats(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,6 +104,7 @@ object SparkEntry {
     "q34_enum_set_bit" -> cdcEnumSetBitSql,
     "q35_windowed_rate" -> windowedRateSql,
     "q36_sessionize" -> sessionizeSql,
-    "q37_pg_decode" -> cdcPgDecodeSql
+    "q37_pg_decode" -> cdcPgDecodeSql,
+    "q38_corpus_stats" -> docCorpusStatsSql
   )
 }
