@@ -59,6 +59,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PgHstore round-trips arbitrary pairs under PG quoting rules") {
+    val rnd = new Random(77)
+    val alphabet = """kv"\=>, {}x	"""
+    def chunk(max: Int): String =
+      (0 until rnd.nextInt(max)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def quote(s: String): String = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c => c.toString
+    } + "\""
+    (0 until 300).foreach { _ =>
+      val pairs = (0 until rnd.nextInt(6)).map { i =>
+        (s"k$i${chunk(6)}", if (rnd.nextInt(4) == 0) null else chunk(8))
+      }
+      val lit = pairs.map { case (k, v) =>
+        quote(k) + "=>" + (if (v == null) "NULL" else quote(v))
+      }.mkString(", ")
+      val (ks, vs) = graft.changelog.PgHstore.parse(lit)
+      assert(ks.toSeq == pairs.map(_._1) && vs.toSeq == pairs.map(_._2),
+        s"lit=$lit got=${ks.toSeq.zip(vs.toSeq)} want=$pairs")
+    }
+  }
+
   private def foldOracle(evs: Seq[Ev]): Map[String, String] =
     evs.sortBy(e => (e.pos, opRank(e.op))).foldLeft(Map.empty[String, String]) {
       case (m, Ev(OpDelete, _, k, _)) => m - k

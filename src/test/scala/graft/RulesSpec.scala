@@ -79,6 +79,22 @@ class RulesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("6"))
   }
 
+  test("GoTruthy typed dispatch: decimal / map / binary / null-literal columns") {
+    import spark.implicits._
+    val df = Seq(1).toDF("one").select(
+      GoTruthy(lit(BigDecimal(0)).cast("decimal(10,2)")).as("dec0"),
+      GoTruthy(lit(BigDecimal(1.5)).cast("decimal(10,2)")).as("dec1"),
+      GoTruthy(typedLit(Map.empty[String, String])).as("emptyMap"),
+      GoTruthy(typedLit(Map("k" -> "v"))).as("fullMap"),
+      GoTruthy(lit(Array[Byte](1, 2))).as("bin"),
+      GoTruthy(lit(null)).as("nullLit"))
+    val r = df.head()
+    assert(!r.getBoolean(0) && r.getBoolean(1), "decimal zero must be falsy")
+    assert(!r.getBoolean(2) && r.getBoolean(3), "empty map must be falsy")
+    assert(r.getBoolean(4), "non-null binary is truthy (no Go zero analog)")
+    assert(!r.getBoolean(5), "null literal is falsy, never null")
+  }
+
   test("P8 template variables and {{range}} over array columns (HOF-compiled)") {
     import spark.implicits._
     val df = Seq(
