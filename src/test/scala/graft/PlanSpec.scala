@@ -156,6 +156,21 @@ class PlanSpec extends SparkSpec {
     assert(snap.collect().map(_.getString(0)).toSet == Set("a"))
   }
 
+  test("corpus stats: map-side partial aggregation, bounded exchanges, pruned scan") {
+    val df = QueryCatalog.docCorpusStats(spark, sf)
+    val p = plan(df)
+    // partial aggregation must run BEFORE any exchange (no row crosses the
+    // wire unaggregated), and the global agg + the distinct-fingerprint
+    // rewrite may add at most two single-partition exchanges
+    assert(p.toLowerCase.contains("partial"), s"no partial aggregation:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"corpus stats should need ≤2 exchanges, got $exchanges:\n$p")
+    val f = formatted(df)
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"scan not pruned to the text column: $readSchema")
+  }
+
   test("read facade: pruning + pushed filters reach the parquet scans inside the resolve") {
     import spark.implicits._
     val dir = tmpDir("plan-facade").resolve("t").toString
