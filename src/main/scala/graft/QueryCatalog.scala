@@ -37,6 +37,21 @@ object QueryCatalog {
     ()
   }
 
+  /** RAM-backed scratch when available (single-disk sandbox); registered
+    * for exit cleanup via the process-wide hook.
+    */
+  private def newScratch(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        shm.toFile.getUsableSpace > (20L << 30)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val tmp = java.nio.file.Files.createTempDirectory(base, prefix)
+    scratchCleanupHook
+    replayScratch.add(tmp)
+    tmp
+  }
+
   /** events → merge-input change stream (see class doc for the mapping). */
   def eventsAsChanges(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "events").select(
@@ -68,18 +83,7 @@ object QueryCatalog {
     try {
       val tableSchema = org.apache.spark.sql.types.StructType(
         input.schema.fields.filterNot(f => Set("_op", "_pos", "_event_ts")(f.name)))
-      // RAM-backed scratch when available (single-disk sandbox); cleaned at exit
-      val scratch = {
-        val shm = java.nio.file.Paths.get("/dev/shm")
-        if (java.nio.file.Files.isDirectory(shm) &&
-          shm.toFile.getUsableSpace > (20L << 30)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      }
-      val tmp = java.nio.file.Files.createTempDirectory(scratch, "graft_replay")
-      // ONE process-wide hook draining a queue — registering a hook per
-      // invocation would accumulate (and pin) one per bench repeat
-      scratchCleanupHook
-      replayScratch.add(tmp)
+      val tmp = newScratch("graft_replay")
       val table = LakeTable.create(s, s"$tmp/table", tableSchema,
         keyCols = Seq("user_id", "slot"), bucketCols = Seq("user_id"), numBuckets = 16)
       def timed[T](tag: String)(f: => T): T =
@@ -282,6 +286,68 @@ object QueryCatalog {
       |  '["ev' || CAST(event_id % 10 AS VARCHAR) || '","x y","a\"b",null]' AS arr_json
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Standard-CDC-envelope ingestion: synthesize Debezium-style JSON
+    * envelopes deterministically from `events` (op c/u/d from event_type,
+    * MySQL-style source block with binlog file+pos derived from event_id,
+    * before image = the deterministic "previous" row), decode them with
+    * [[graft.changelog.ChangelogCodec.decodeDebezium]], and project the
+    * merge-input columns. Half the rows are wrapped in the Kafka-Connect
+    * `{"schema":…,"payload":…}` envelope to exercise the per-row unwrap.
+    * The oracle recomputes the decode output straight from `events` —
+    * value-exact including the fileIndex<<32|pos coordinate and the
+    * update-only before image.
+    */
+  def cdcDebeziumDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.changelog.ChangelogCodec
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("slot",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val ev = read(s, dir, "events")
+    val opLetter = when(col("event_type") === "error", "d")
+      .when(col("event_type").isin("click", "view"), "u").otherwise("c")
+    val after = struct(col("user_id"),
+      (col("event_id") % 40).cast("int").as("slot"),
+      col("event_type"), col("value"))
+    val before = struct(col("user_id"),
+      (col("event_id") % 40).cast("int").as("slot"),
+      col("event_type"), (col("value") - 1.0).as("value"))
+    val envelope = to_json(struct(
+      when(opLetter =!= "c", before).as("before"),
+      when(opLetter =!= "d", after).as("after"),
+      struct(format_string("mysql-bin.%06d",
+          floor(col("event_id") / 1000).cast("long")).as("file"),
+        (col("event_id") % 1000).as("pos"),
+        unix_millis(col("ts").cast("timestamp")).as("ts_ms")).as("source"),
+      opLetter.as("op"),
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms")))
+    val wire = ev.select(
+      when(col("event_id") % 2 === 0, envelope) // kafka-connect wrapped half
+        .otherwise(concat(lit("""{"schema":{},"payload":"""), envelope, lit("}")))
+        .as("value"))
+    ChangelogCodec.decodeDebezium(wire, rowSchema, withBefore = true)
+      .select(col("_op").as("op"), col("_pos").as("pos"),
+        unix_millis(col("_event_ts")).as("ts_ms"),
+        col("user_id"), col("slot"), col("event_type"), col("value"),
+        col("_before.value").as("raw_value"))
+      .orderBy("pos")
+  }
+
+  val cdcDebeziumDecodeSql: String =
+    s"""SELECT $changeOpSql AS op,
+       |  (event_id // 1000) * 4294967296 + (event_id % 1000) AS pos,
+       |  epoch_ms(ts) AS ts_ms,
+       |  user_id, CAST(event_id % 40 AS INT) AS slot, event_type,
+       |  -- deletes carry the BEFORE image (the only image a 'd' event has)
+       |  CASE WHEN event_type = 'error' THEN value - 1.0 ELSE value END AS value,
+       |  CASE WHEN event_type IN ('click','view') THEN value - 1.0 END AS raw_value
+       |FROM events ORDER BY pos""".stripMargin
+
   /** K11-K13 changefeed-out message key/action/timestamp (oracle-checkable
     * projection of the MQ message; keyed — unlike the reference's random
     * partitioner — to preserve per-key order).
@@ -376,6 +442,135 @@ object QueryCatalog {
       |  SELECT 'redis', 'ZADD', 'rank:' || user_id, CAST(event_id AS VARCHAR)
       |  FROM events WHERE event_type IN ('click','view')
       |) ORDER BY key, action, value""".stripMargin
+
+  /** K1-K5 structure-level APPLICATION: a typed transform emits the full
+    * keyed-store op algebra (string/hash/set/zset/list incl. the reference's
+    * value-addressed List/Set retraction, redis.go:225-268), the ops are
+    * replayed in three fenced epochs through [[SinkOpState.applyBatch]] into
+    * a keyed LakeTable, and the FINAL STATE is returned — q13 emits messages,
+    * this executes them. The oracle recomputes the fold from the same
+    * (deterministic) op stream in pure SQL.
+    */
+  def cdcSinkOpApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.merge.SinkOpState
+    val ev = read(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .as[(Long, String, Long, Double)]
+    val transform = new EventTransform[(Long, String, Long, Double)] {
+      def apply(e: (Long, String, Long, Double)): Iterator[SinkOp] = {
+        val (id, t, uid, v) = e
+        val k = uid % 50; val m = (uid % 7).toString; val f = s"f${uid % 5}"
+        t match {
+          case "error" => Iterator( // delete: remove from every structure
+            SinkOp("redis", "DEL", s"s:$k"),
+            SinkOp("redis", "LREM", s"l:$k", value = m),
+            SinkOp("redis", "SREM", s"set:$k", value = m),
+            SinkOp("redis", "ZREM", s"z:$k", value = m),
+            SinkOp("redis", "HDEL", s"h:$k", field = f))
+          case "click" => Iterator( // update: LREM old + RPUSH new retraction
+            SinkOp("redis", "SET", s"s:$k", value = s"c:$id"),
+            SinkOp("redis", "LREM", s"l:$k", value = m),
+            SinkOp("redis", "RPUSH", s"l:$k", value = m),
+            SinkOp("redis", "ZADD", s"z:$k", score = v, value = m))
+          case "view" => Iterator(
+            SinkOp("redis", "HSET", s"h:$k", field = f, value = s"v:$id"),
+            SinkOp("redis", "SADD", s"set:$k", value = m))
+          case other => Iterator(
+            SinkOp("redis", "SET", s"s:$k", value = other),
+            SinkOp("redis", "RPUSH", s"l:$k", value = m))
+        }
+      }
+    }
+    val ops = EventTransform.runOrdered(ev.map(e => (e._1, e)), transform)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val table = SinkOpState.createOrLoad(s,
+        s"${newScratch("graft_sinkop")}/state", numBuckets = 8)
+      val maxOrd = ops.agg(max("ord")).head().getLong(0)
+      val step = maxOrd / 3 + 1
+      (0L until 3L).foreach { e =>
+        SinkOpState.applyBatch(table,
+          ops.where(col("ord") >= e * step && col("ord") < (e + 1) * step), e)
+      }
+      table.snapshot()
+        .orderBy("target", "structure", "key", "field", "elem", "uid", "ord")
+    } finally { ops.unpersist(); () }
+  }
+
+  val cdcSinkOpApplySql: String = {
+    val rem = "('DEL','HDEL','SREM','ZREM','LREM')"
+    s"""WITH ops AS (
+       |  SELECT 'redis' AS target, 'DEL' AS action, 's:' || (user_id % 50) AS key,
+       |         CAST(NULL AS VARCHAR) AS field, 0.0 AS score,
+       |         CAST(NULL AS VARCHAR) AS value, event_id * 16 AS ord
+       |  FROM events WHERE event_type = 'error'
+       |  UNION ALL SELECT 'redis', 'LREM', 'l:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 1
+       |  FROM events WHERE event_type = 'error'
+       |  UNION ALL SELECT 'redis', 'SREM', 'set:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 2
+       |  FROM events WHERE event_type = 'error'
+       |  UNION ALL SELECT 'redis', 'ZREM', 'z:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 3
+       |  FROM events WHERE event_type = 'error'
+       |  UNION ALL SELECT 'redis', 'HDEL', 'h:' || (user_id % 50),
+       |    'f' || (user_id % 5), 0.0, NULL, event_id * 16 + 4
+       |  FROM events WHERE event_type = 'error'
+       |  UNION ALL SELECT 'redis', 'SET', 's:' || (user_id % 50), NULL, 0.0,
+       |    'c:' || event_id, event_id * 16
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL SELECT 'redis', 'LREM', 'l:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 1
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL SELECT 'redis', 'RPUSH', 'l:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 2
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL SELECT 'redis', 'ZADD', 'z:' || (user_id % 50), NULL, value,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 3
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL SELECT 'redis', 'HSET', 'h:' || (user_id % 50),
+       |    'f' || (user_id % 5), 0.0, 'v:' || event_id, event_id * 16
+       |  FROM events WHERE event_type = 'view'
+       |  UNION ALL SELECT 'redis', 'SADD', 'set:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 1
+       |  FROM events WHERE event_type = 'view'
+       |  UNION ALL SELECT 'redis', 'SET', 's:' || (user_id % 50), NULL, 0.0,
+       |    event_type, event_id * 16
+       |  FROM events WHERE event_type NOT IN ('error','click','view')
+       |  UNION ALL SELECT 'redis', 'RPUSH', 'l:' || (user_id % 50), NULL, 0.0,
+       |    CAST(user_id % 7 AS VARCHAR), event_id * 16 + 1
+       |  FROM events WHERE event_type NOT IN ('error','click','view')
+       |), n AS (
+       |  SELECT target,
+       |    CASE WHEN action IN ('SET','DEL') THEN 'string'
+       |         WHEN action IN ('HSET','HDEL') THEN 'hash'
+       |         WHEN action IN ('SADD','SREM') THEN 'set'
+       |         WHEN action IN ('ZADD','ZREM') THEN 'zset'
+       |         ELSE 'list' END AS structure,
+       |    action, key,
+       |    CASE WHEN action IN ('HSET','HDEL') THEN coalesce(field, '')
+       |         ELSE '' END AS field,
+       |    CASE WHEN action IN ('SADD','SREM','ZADD','ZREM','RPUSH','LREM')
+       |         THEN coalesce(value, '') ELSE '' END AS elem,
+       |    score, value, ord
+       |  FROM ops
+       |), g AS (
+       |  SELECT target, structure, key, field, elem,
+       |    arg_max(action, ord) AS wact, arg_max(value, ord) AS wval,
+       |    arg_max(score, ord) AS wscore, max(ord) AS word,
+       |    max(CASE WHEN action IN $rem THEN ord END) AS last_rem
+       |  FROM n GROUP BY 1, 2, 3, 4, 5)
+       |SELECT target, structure, key, field, elem, '' AS uid, wval AS value,
+       |       CAST(wscore AS DOUBLE) AS score, word AS ord
+       |FROM g WHERE structure <> 'list' AND wact NOT IN $rem
+       |UNION ALL
+       |SELECT n.target, n.structure, n.key, n.field, n.elem,
+       |       CAST(n.ord AS VARCHAR), n.value, CAST(0.0 AS DOUBLE), n.ord
+       |FROM n JOIN g USING (target, structure, key, field, elem)
+       |WHERE n.action = 'RPUSH' AND (g.last_rem IS NULL OR n.ord > g.last_rem)
+       |ORDER BY target, structure, key, field, elem, uid, ord""".stripMargin
+  }
 
   /** C5 metrics: per-op counters as a query. */
   def cdcMetrics(s: SparkSession, dir: String): DataFrame =
@@ -666,11 +861,13 @@ object QueryCatalog {
       |    length(text) AS n_chars,
       |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |  FROM documents)
-      |SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |  round(avg(n_tokens), 6) AS avg_tokens,
       |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
       |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
-      |  max(n_tokens) AS max_tokens, sum(n_chars) AS total_chars,
+      |  max(n_tokens) AS max_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  count(DISTINCT fp) AS n_unique
       |FROM d""".stripMargin
 
@@ -782,6 +979,81 @@ object QueryCatalog {
     Similarity.lshTopK(queries, corpus, k = 5, dim = dim, nBits = 4, nTables = 8,
       probeHamming = 1)
       .orderBy("q_id", "rank")
+  }
+
+  /** Full DuckDB oracle for the LSH path — the approximate operator is
+    * adjudicated EXACTLY because every nondeterminism was designed out:
+    * (a) hyperplanes are a splitmix64 stream ([[Similarity.hyperplanes]]),
+    * emulated value-exact in HUGEINT mod-2^64 (the q20/q22 technique; 64-bit
+    * multiplies split at 32 bits); (b) each bucket bit is the SIGN of a
+    * plane·vector dot product — reproduced in the engine's exact IEEE
+    * summation order (`list_reduce` is a sequential left fold, matching
+    * Catalyst `aggregate`), so the doubles are bit-identical and no sign can
+    * flip at a bucket boundary; (c) the scoring cosine mirrors CosineSim's
+    * one-pass accumulation (ab/aa/bb in index order, `max(denom, 1e-12)`),
+    * so even `round(..., 6)` boundary cases agree. Probe masks [0,1,2,4,8] =
+    * self + all 1-bit flips at nBits=4.
+    */
+  val embAnnLshSql: String = {
+    val C1 = "11400714819323198485"; val C2 = "13787848793156543929"
+    val C3 = "10723151780598845931"; val C4 = "2685821657736338717"
+    val (c2hi, c2lo) = ("3210233709", "484763065")
+    val (c3hi, c3lo) = ("2496678331", "321982955")
+    val M = "18446744073709551616"
+    def dot(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, (SELECT dim FROM dims) + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (a, x) -> a + x)""".stripMargin
+    s"""WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+       |grid AS (
+       |  SELECT t.t, b.b, d.d
+       |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+       |       (SELECT unnest(range(0, 4)) AS b) b,
+       |       (SELECT unnest(range(0, (SELECT dim FROM dims))) AS d) d),
+       |p0 AS (SELECT t, b, d,
+       |  (t*$C1::HUGEINT + b*$C2::HUGEINT + d*$C3::HUGEINT + $C4::HUGEINT)
+       |    % $M::HUGEINT AS h0 FROM grid),
+       |p1 AS (SELECT *, xor(h0, h0 // 1073741824::HUGEINT) AS x1 FROM p0),
+       |p2 AS (SELECT *, (x1*$c2lo::HUGEINT + ((x1*$c2hi::HUGEINT) % 4294967296::HUGEINT)*4294967296::HUGEINT)
+       |    % $M::HUGEINT AS h1 FROM p1),
+       |p3 AS (SELECT *, xor(h1, h1 // 134217728::HUGEINT) AS x2 FROM p2),
+       |p4 AS (SELECT *, (x2*$c3lo::HUGEINT + ((x2*$c3hi::HUGEINT) % 4294967296::HUGEINT)*4294967296::HUGEINT)
+       |    % $M::HUGEINT AS h2 FROM p3),
+       |p5 AS (SELECT t, b, d, xor(h2, h2 // 2147483648::HUGEINT) AS h3 FROM p4),
+       |plane_lists AS (
+       |  SELECT t, b, list(CAST(h3 // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY d) AS p
+       |  FROM p5 GROUP BY t, b),
+       |vbits AS (
+       |  SELECT e.vec_id AS id, pl.t, pl.b,
+       |    CASE WHEN list_reduce(list_transform(range(1, (SELECT dim FROM dims) + 1),
+       |      i -> pl.p[i] * CAST(e.embedding[i] AS DOUBLE)), (a, x) -> a + x) > 0
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, plane_lists pl),
+       |vbuckets AS (
+       |  SELECT id, t, list_reduce(list(bit ORDER BY b), (a, x) -> a * 2 + x) AS bucket
+       |  FROM vbits GROUP BY id, t),
+       |qprobes AS (
+       |  SELECT id AS q_id, t, xor(bucket::HUGEINT, m::HUGEINT) AS bucket
+       |  FROM vbuckets, (SELECT unnest([0, 1, 2, 4, 8]) AS m) masks
+       |  WHERE id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.id AS c_id
+       |  FROM qprobes q JOIN vbuckets c ON q.t = c.t AND q.bucket = c.bucket::HUGEINT
+       |  WHERE q.q_id <> c.id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    ${dot("q.embedding", "c.embedding")}
+       |      / greatest(
+       |          sqrt(${dot("q.embedding", "q.embedding")})
+       |        * sqrt(${dot("c.embedding", "c.embedding")}),
+       |          1e-12) AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.q_id
+       |  JOIN embeddings c ON c.vec_id = cand.c_id)
+       |SELECT q_id, c_id, cosine, rank FROM (
+       |  SELECT q_id, c_id, round(cos, 6) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   def embAnnIvf(s: SparkSession, dir: String): DataFrame = {

@@ -67,7 +67,11 @@ object SparkEntry {
     // P5 WAL-side completion: Postgres logical-decoding text values
     "q37_pg_decode" -> (cdcPgDecode(_, _)),
     // corpus-level pre-training summary (volume, token distribution, uniques)
-    "q38_corpus_stats" -> (docCorpusStats(_, _))
+    "q38_corpus_stats" -> (docCorpusStats(_, _)),
+    // S1/S2 completion: standard Debezium/Maxwell CDC-envelope ingestion
+    "q39_debezium_decode" -> (cdcDebeziumDecode(_, _)),
+    // K1-K5 completion: structure-level op APPLICATION (list/set retraction)
+    "q40_sinkop_apply" -> (cdcSinkOpApply(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,6 +102,7 @@ object SparkEntry {
     "q25_doc_quality" -> docQualitySql,
     "q26_emb_neardup" -> embNearDupPairsSql,
     "q27_emb_ann_topk" -> embAnnTopKSql,
+    "q28_emb_ann_lsh" -> embAnnLshSql,
     "q30_mm_features" -> mmFeaturesSql,
     "q32_mm_frames" -> mmFrameSampleSql,
     "q33_wildcard_tables" -> wildcardTablesSql,
@@ -105,6 +110,8 @@ object SparkEntry {
     "q35_windowed_rate" -> windowedRateSql,
     "q36_sessionize" -> sessionizeSql,
     "q37_pg_decode" -> cdcPgDecodeSql,
-    "q38_corpus_stats" -> docCorpusStatsSql
+    "q38_corpus_stats" -> docCorpusStatsSql,
+    "q39_debezium_decode" -> cdcDebeziumDecodeSql,
+    "q40_sinkop_apply" -> cdcSinkOpApplySql
   )
 }

@@ -51,6 +51,18 @@ object PgDecode {
   /** 1-D array text literal → array<string> (null elements preserved). */
   def decodeArray(c: Column): Column = PgTextArray(c)
 
+  /** 2-D array text literal (`{{a,b},{c,NULL}}`) → array<array<string>>:
+    * the outer parse captures each balanced `{…}` sub-array as raw text
+    * ([[PgTextArray]]'s nested-element rule), and a second PgTextArray pass
+    * per element recurses it — a composition of the same native expression
+    * inside `transform`, still codegen'd, still no UDF. A NULL sub-array
+    * (bare `NULL` element) stays null; deeper nesting recurses the same way
+    * one level at a time (`decodeArrayNested(decodeArrayNested(c))` is not
+    * typed — for >2-D apply this once per level with `transform`).
+    */
+  def decodeArrayNested(c: Column): Column =
+    transform(PgTextArray(c), e => PgTextArray(e))
+
   /** hstore output format (`"k"=>"v", "k2"=>NULL`) → map<string,string>. */
   def decodeHstore(c: Column): Column = PgHstore(c)
 }

@@ -84,11 +84,25 @@ final case class GraftConfig(
     // reference's MQ sinks get for free): every `feedFoldEvery` micro-batches
     // each changefeed route's out dir is folded asynchronously
     // (ConfigPipeline.foldFeed — lossless), keeping the newest
-    // `feedRetainEpochs` epoch dirs live. The default cadence never fires in
-    // a short drain but bounds a long-running stream's dir count at
-    // ~cadence + retain without configuration; 0 disables.
-    feedFoldEvery: Long = 256L,
+    // `feedRetainEpochs` epoch dirs live. OPT-IN (default 0 = never fold):
+    // folding moves history into `_folded/` generations that only
+    // fold-aware readers (ConfigPipeline.readFeed, `Main read-feed`) see —
+    // a plain `spark.read.parquet(outDir)` consumer would silently lose the
+    // folded epochs once deferred cleanup deletes them, so the on-disk
+    // contract change must be an explicit choice. Long-running streams
+    // SHOULD enable it (e.g. 256): an unfolded 200 ms-trigger feed grows
+    // ~13M epoch dirs a month and partition discovery degrades with dir
+    // count.
+    feedFoldEvery: Long = 0L,
     feedRetainEpochs: Int = 8,
+    // wire format of changelog_dir: "graft" (the engine's parquet wire
+    // schema) or "debezium" — JSON-lines files of standard Debezium/Maxwell
+    // envelopes (op c/u/d/r, before/after, source{file,pos,lsn,ts_ms}),
+    // bare or Kafka-Connect `{"schema":…,"payload":…}`-wrapped, decoded by
+    // ChangelogCodec.decodeDebezium. Debezium envelopes carry no schema_id:
+    // events decode against (and lake tables evolve to) the NEWEST registry
+    // schema — the registry is the declared DDL timeline.
+    wireFormat: String = "graft",
     routes: Seq[RouteConf] = Nil,
     // optional schema registry: schema_id → row schema (DDL string in YAML).
     // Empty = the built-in transcript registry. The reference refreshes rule
@@ -121,8 +135,13 @@ object GraftConfig {
       autoCompactRatio = dbl(root, "auto_compact_ratio", 4.0),
       autoCompactMinRows = long(root, "auto_compact_min_rows", 200000L),
       allowPipelineTakeover = bool(root, "allow_pipeline_takeover", default = false),
-      feedFoldEvery = long(root, "feed_fold_every", 256L),
+      feedFoldEvery = long(root, "feed_fold_every", 0L),
       feedRetainEpochs = retain,
+      wireFormat = {
+        val wf = str(root, "wire_format", default = "graft")
+        require(Set("graft", "debezium")(wf), s"unknown wire_format: $wf")
+        wf
+      },
       routes = routes,
       schemas = asMap(root.getOrElse("schemas", null)).map { case (sid, ddl) =>
         sid.trim.toInt ->

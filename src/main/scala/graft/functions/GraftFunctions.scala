@@ -58,11 +58,22 @@ object GraftFunctions {
     one("simhash64")(SimHash64(_)),
     "rolling_min64" -> { (cs: Seq[Expression]) =>
       require(cs.size == 2, s"rolling_min64(str, n) expects 2 arguments, got ${cs.size}")
-      val n = cs(1) match {
-        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-          lit.value.asInstanceOf[Number].intValue
+      // fold first so constant arithmetic (4+4) qualifies; then accept only
+      // integral literal types — a string/decimal literal gets the intended
+      // argument error, not an opaque ClassCastException
+      val folded = cs(1) match {
+        case l: Literal => l
+        case e if e.foldable => Literal.create(e.eval(), e.dataType)
         case other => throw new IllegalArgumentException(
-          s"rolling_min64 n must be a literal, got $other")
+          s"rolling_min64 n must be a constant integer, got $other")
+      }
+      val n = folded match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case Literal(v: Short, _) => v.toInt
+        case Literal(v: Byte, _) => v.toInt
+        case Literal(v, t) => throw new IllegalArgumentException(
+          s"rolling_min64 n must be a constant integer, got $v: ${t.sql}")
       }
       RollingMin64(cs.head, n)
     })

@@ -69,7 +69,13 @@ final case class TableMeta(
     lineage: List[LineageEntry],
     history: List[CommitInfo],
     baseVersion: Int = 1,
-    lastPipelineId: String = "") {
+    lastPipelineId: String = "",
+    // the table's applied-offset watermark as of the END of the previous
+    // compaction: tombstones with pos below it are replay-safe to GC at the
+    // NEXT compaction (one full compaction cycle of stream progress has
+    // passed since the delete applied — see MergeInto.compact). -1 = no
+    // compaction recorded yet (GC nothing).
+    lastCompactOffset: Long = -1L) {
   def schema: StructType =
     DataType.fromJson(schemas(schemaId.toString)).asInstanceOf[StructType]
   def schemaFor(id: Int): StructType =
@@ -101,7 +107,8 @@ final case class MetaSegment(
     historyAdd: List[CommitInfo],
     filesFull: Option[List[FileEntry]] = None,
     lineageFull: Option[List[LineageEntry]] = None,
-    historyFull: Option[List[CommitInfo]] = None) {
+    historyFull: Option[List[CommitInfo]] = None,
+    lastCompactOffset: Long = -1L) {
   def isSnapshot: Boolean = filesFull.isDefined
 }
 
@@ -288,6 +295,31 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
   /** Metadata view at a historic version (pure). */
   def metaAt(v: Int): TableMeta = LakeTable.readMetaVersion(root, v)
 
+  /** Files ADDED by commits in `(fromV, toV]` — the spine of the table's
+    * changefeed ([[graft.sources.GraftStreamSource]]). Walks the per-version
+    * segments, so a delta that was added and already compacted away INSIDE
+    * the range is still returned (data files are immutable; only vacuum
+    * removes them — a tail must keep up within the vacuum retention window,
+    * the same contract as any CDC source with log retention). A snapshot
+    * (re-anchor) segment lists no additions itself; its adds are recovered
+    * by diffing against the previous version's file set.
+    */
+  def addedFilesBetween(fromV: Int, toV: Int): Seq[FileEntry] =
+    (fromV + 1 to toV).flatMap { v =>
+      val seg = LakeTable.readSegment(root, v)
+      if (!seg.isSnapshot) seg.addedFiles
+      else {
+        val prev = LakeTable.readMetaVersion(root, v - 1).files.map(_.path).toSet
+        seg.filesFull.get.filterNot(f => prev.contains(f.path))
+      }
+    }
+
+  /** Schema-aligned read of an explicit file subset of version `m` —
+    * exposes [[readAligned]] for the streaming tail.
+    */
+  private[graft] def readFilesAligned(m: TableMeta, files: Seq[FileEntry]): DataFrame =
+    readAligned(m, files)
+
   /** Vacuum: bound metadata history and data storage.
     *
     *  - Re-anchors the tip on a full snapshot segment (if it is a delta), so
@@ -427,6 +459,7 @@ final class LakeTable private (val root: Path, val spark: SparkSession) {
       numBuckets = next.numBuckets,
       lastEpoch = next.lastEpoch, lastOffset = next.lastOffset,
       lastPipelineId = next.lastPipelineId,
+      lastCompactOffset = next.lastCompactOffset,
       addedFiles = if (snapshot) Nil
         else next.files.filterNot(f => prevPaths.contains(f.path)),
       removedPaths = if (snapshot) Nil
@@ -524,7 +557,8 @@ object LakeTable {
     files = seg.filesFull.getOrElse(Nil),
     lineage = seg.lineageFull.getOrElse(Nil),
     history = seg.historyFull.getOrElse(Nil),
-    baseVersion = seg.version, lastPipelineId = seg.lastPipelineId)
+    baseVersion = seg.version, lastPipelineId = seg.lastPipelineId,
+    lastCompactOffset = seg.lastCompactOffset)
 
   /** Fold delta segments (in version order) onto a base view. */
   private[lake] def foldSegments(base: TableMeta, segs: Seq[MetaSegment]): TableMeta = {
@@ -539,6 +573,7 @@ object LakeTable {
           version = seg.version, schemaId = seg.schemaId, schemas = seg.schemas,
           lastEpoch = seg.lastEpoch, lastOffset = seg.lastOffset,
           lastPipelineId = seg.lastPipelineId,
+          lastCompactOffset = seg.lastCompactOffset,
           files = m.files.filterNot(f => removed.contains(f.path)) ++ seg.addedFiles,
           lineage = (m.lineage ++ seg.lineageAdd).takeRight(LineageCap),
           history = (m.history ++ seg.historyAdd).takeRight(HistoryCap),

@@ -268,7 +268,12 @@ object MergeInto {
         .write.partitionBy("bkt", "del").parquet(table.root.resolve(commitRel).toString)
     }
     val row = obs.get
-    val nDedup = row("n").asInstanceOf[Long]
+    // an EMPTY metrics map is AQE's empty-relation elimination: when every
+    // runtime stage of the batch plan reports 0 rows (e.g. a diff batch
+    // whose except sides cancel), AQE collapses the subtree — CollectMetrics
+    // included — so the observation never fires. That can only happen for a
+    // provably empty batch, which is exactly the fence-only case below.
+    val nDedup = if (row.isEmpty) 0L else row("n").asInstanceOf[Long]
     if (nDedup == 0) { // empty batch: advance the fence only
       table.commitAtomic(latest => latest.copy(
         version = latest.version + 1, lastEpoch = epoch,
@@ -452,7 +457,23 @@ object MergeInto {
   /** Fold delta files into resolved base files (MOR maintenance). Keeps
     * tombstones (they defend against replayed-old-insert resurrection;
     * `gcTombstonesBelowPos` may drop those whose pos is provably below any
-    * replayable offset). Pure maintenance: epoch/offset fences unchanged.
+    * replayable offset). Pure maintenance: epoch/offset fences unchanged —
+    * except `lastCompactOffset`, which records the resolved snapshot's
+    * applied offset so the NEXT compaction can GC below it (see
+    * [[maybeCompactAsync]]).
+    *
+    * Tombstone-GC safety contract: a tombstone at pos p only matters against
+    * a redelivered (at-least-once upstream) event of the same key with pos
+    * < p — fresher events legitimately win LWW, and whole-batch replays from
+    * the engine's own checkpoint are already fenced at (pipelineId, epoch)
+    * level and never reach the table. The auto path GCs below the PREVIOUS
+    * compaction's applied-offset watermark, i.e. a tombstone survives at
+    * least one full compaction cycle (deltaRows ≥ ratio × baseRows of stream
+    * progress) after it was applied; upstream redelivery horizons (the
+    * reference replays at most from its last saved position,
+    * service/handler.go:173-191) are orders of magnitude shorter. A source
+    * that can redeliver events older than a full compaction cycle must
+    * disable GC (keep the manual `compact(table)` default).
     *
     * Commit is REBASE-safe against concurrent MOR merges (the Iceberg
     * RewriteDataFiles shape): the rewrite resolves the file set of snapshot
@@ -490,11 +511,16 @@ object MergeInto {
         "compaction inputs vanished — concurrent non-append commit")
       latest.copy(
         version = latest.version + 1,
+        // watermark for the NEXT compaction's tombstone GC: the offset of
+        // the snapshot THIS compaction resolved (≤ latest.lastOffset —
+        // conservative under concurrent merges); monotone under manual +
+        // auto interleaving
+        lastCompactOffset = math.max(latest.lastCompactOffset, m.lastOffset),
         files = (latest.files.filterNot(inputs.contains) ++ newFiles)
           .sortBy(f => (f.bucket, f.path)),
         history = latest.history :+ CommitInfo(latest.version + 1, latest.lastEpoch,
           latest.lastOffset, System.currentTimeMillis(),
-          s"compact:files=${newFiles.size}"))
+          s"compact:files=${newFiles.size}:gcBelow=$gcTombstonesBelowPos"))
     }
   }
 
@@ -506,15 +532,23 @@ object MergeInto {
     */
   private val compacting =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  def maybeCompactAsync(table: LakeTable, ratio: Double, minRows: Long): Boolean = {
+  def maybeCompactAsync(table: LakeTable, ratio: Double, minRows: Long,
+      gcTombstones: Boolean = true): Boolean = {
     val m = table.meta
     val deltaRows = m.files.filter(_.kind == "delta").map(_.rows).sum
     val baseRows = m.files.filter(_.kind == "base").map(_.rows).sum
     val due = deltaRows >= minRows && deltaRows >= ratio * baseRows
     if (!due || compacting.putIfAbsent(table.root.toString, java.lang.Boolean.TRUE) != null)
       return false
+    // replay-safe tombstone GC (see compact's contract): drop tombstones
+    // below the PREVIOUS compaction's applied-offset watermark — without
+    // this a delete-heavy stream accumulates tombstone rows forever (a slow
+    // leak at the 10^10-event regime). -1 on a never-compacted table GCs
+    // nothing; the watermark is persisted in the table meta so it survives
+    // restarts.
+    val gcBelow = if (gcTombstones) m.lastCompactOffset else Long.MinValue
     val t = new Thread(() =>
-      try compact(table)
+      try compact(table, gcTombstonesBelowPos = gcBelow)
       catch { case e: Throwable =>
         System.err.println(s"[graft] async compaction failed (will retry later): $e")
       } finally { compacting.remove(table.root.toString); () }, "graft-compactor")

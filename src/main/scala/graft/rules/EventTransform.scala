@@ -34,6 +34,30 @@ object EventTransform {
   /** `ds.flatMap(transform)` ≙ executing the Lua script per event. */
   def run[T](ds: Dataset[T], t: EventTransform[T]): Dataset[SinkOp] =
     ds.flatMap(e => t(e))(sinkOpEncoder)
+
+  /** Ops-per-event cap in [[runOrdered]]'s ord encoding (4 bits). */
+  val MaxOpsPerEvent = 16
+
+  /** [[run]] with a TOTAL op order attached, for structure-level application
+    * ([[graft.merge.SinkOpState]]): input events carry their stream position;
+    * each emitted op gets `ord = pos * 16 + index-within-event` — stream
+    * order first, then intra-script emission order, exactly the order the
+    * reference's single-threaded applier executes a script's ___RET___ ops
+    * in (service/endpoint/redis.go:92-100 pipelined in append order). At
+    * most [[MaxOpsPerEvent]] ops per event (the reference's scripts emit a
+    * handful; raise the shift if a transform needs more).
+    */
+  def runOrdered[T](ds: Dataset[(Long, T)], t: EventTransform[T]): DataFrame = {
+    val enc = Encoders.product[(String, String, String, String, Double, String, Long)]
+    ds.flatMap { case (pos, e) =>
+      t(e).zipWithIndex.map { case (op, i) =>
+        require(i < MaxOpsPerEvent,
+          s"runOrdered: more than $MaxOpsPerEvent ops from one event")
+        (op.target, op.action, op.key, op.field, op.score, op.value,
+          pos * MaxOpsPerEvent + i)
+      }
+    }(enc).toDF("target", "action", "key", "field", "score", "value", "ord")
+  }
 }
 
 /** Changefeed-out message shape for MQ sinks (Kafka/Rocket/Rabbit all share

@@ -24,17 +24,34 @@ import org.apache.spark.sql.types.StructType
   * `version` (optional time travel to a committed metadata version —
   * pure read, same guarantee as [[LakeTable.snapshotAt]]).
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source needs a table dir: .load(dir) or option(\"path\", dir)"))
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft source needs a table dir: .load(dir) or option(\"path\", dir)"))
+    val path = pathOf(parameters)
     // validate eagerly (a bad path should fail at CREATE, not first SELECT)
     LakeTable.load(ctx.sparkSession, path)
     GraftRelation(ctx, path, parameters.get("version").map(_.toInt))
   }
+
+  // ---- streaming tail: spark.readStream.format("graft").load(dir) ----
+  // (see GraftStreamSource for semantics; offsets = table versions)
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStreamSource.changeSchema(
+      LakeTable.load(ctx.sparkSession, pathOf(parameters)).meta.schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(ctx.sparkSession, pathOf(parameters), parameters)
 }
 
 final case class GraftRelation(ctx: SQLContext, path: String,
@@ -68,7 +85,7 @@ final case class GraftRelation(ctx: SQLContext, path: String,
     */
   private[graft] def planFor(requiredColumns: Array[String],
       filters: Array[Filter]): DataFrame = {
-    val filtered = filters.flatMap(translate).foldLeft(resolve())(_ where _)
+    val filtered = filters.flatMap(translate(_).map(_._1)).foldLeft(resolve())(_ where _)
     filtered.select(requiredColumns.toSeq.map(col): _*)
   }
 
@@ -76,31 +93,40 @@ final case class GraftRelation(ctx: SQLContext, path: String,
       filters: Array[Filter]): RDD[Row] =
     planFor(requiredColumns, filters).queryExecution.toRdd.asInstanceOf[RDD[Row]]
 
-  /** Best-effort filter translation. DSv1 filters are advisory — Spark
-    * re-applies every filter above the scan — so dropping an untranslatable
-    * one is always safe; a translated one prunes the parquet scan.
+  /** Best-effort filter translation returning (predicate, exact). DSv1
+    * filters are advisory — Spark re-applies every filter above the scan —
+    * so a PRUNING predicate only has to be a SUPERSET of the original (keep
+    * at least every matching row); dropping an untranslatable filter is
+    * always safe. Exactness is tracked because supersets do not survive
+    * negation: And may keep one translated conjunct (still a superset) and
+    * Or of two supersets is a superset, but Not(superset) would DROP rows
+    * the original keeps — e.g. Not(And(untranslatable, p)) must not become
+    * NOT(p) — so Not only accepts an EXACT child. (Catalyst usually
+    * De-Morgans Not(And) away before pushdown, but the Filter API doesn't
+    * guarantee it.)
     */
-  private def translate(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+  private def translate(f: Filter): Option[(Column, Boolean)] = f match {
+    case EqualTo(a, v) => Some((col(a) === lit(v), true))
+    case GreaterThan(a, v) => Some((col(a) > lit(v), true))
+    case GreaterThanOrEqual(a, v) => Some((col(a) >= lit(v), true))
+    case LessThan(a, v) => Some((col(a) < lit(v), true))
+    case LessThanOrEqual(a, v) => Some((col(a) <= lit(v), true))
+    case In(a, vs) => Some((col(a).isin(vs.toSeq: _*), true))
+    case IsNull(a) => Some((col(a).isNull, true))
+    case IsNotNull(a) => Some((col(a).isNotNull, true))
+    case StringStartsWith(a, v) => Some((col(a).startsWith(v), true))
+    case StringEndsWith(a, v) => Some((col(a).endsWith(v), true))
+    case StringContains(a, v) => Some((col(a).contains(v), true))
     case And(l, r) =>
-      // one translatable conjunct still prunes (conjunction is monotone);
-      // Or/Not need BOTH sides, or the rewrite would drop rows
       (translate(l), translate(r)) match {
-        case (Some(lc), Some(rc)) => Some(lc && rc)
-        case (one, other) => one.orElse(other)
+        case (Some((lc, le)), Some((rc, re))) => Some((lc && rc, le && re))
+        case (one, other) => // partial conjunct: superset, not exact
+          one.orElse(other).map { case (c, _) => (c, false) }
       }
-    case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
-    case Not(c) => translate(c).map(!_)
+    case Or(l, r) => for {
+      (lc, le) <- translate(l); (rc, re) <- translate(r)
+    } yield (lc || rc, le && re)
+    case Not(c) => translate(c).collect { case (cc, true) => (!cc, true) }
     case _ => None
   }
 }

@@ -109,9 +109,16 @@ object ConfigPipeline {
     val newestSid = registry.keys.max
     val needBefore = routes.exists(b => b.conf.target != "lake" && b.conf.reserveRawData)
     val newest = registry(newestSid)
-    val decoded =
-      if (needBefore) ChangelogCodec.decodeWithBefore(wire, newest)
-      else ChangelogCodec.decode(wire, newest)
+    val decoded = c.wireFormat match {
+      case "debezium" =>
+        // no schema_id on the standard envelope: decode against (and evolve
+        // tables to) the newest registry schema — see GraftConfig.wireFormat
+        ChangelogCodec.decodeDebezium(wire, newest, withBefore = needBefore)
+          .withColumn("_schema_id", lit(newestSid))
+      case _ =>
+        if (needBefore) ChangelogCodec.decodeWithBefore(wire, newest)
+        else ChangelogCodec.decode(wire, newest)
+    }
     val cached = decoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       routes.map { b =>
@@ -225,10 +232,10 @@ object ConfigPipeline {
     * fold that outlives its cadence must not stack a second fold on the same
     * dir. Returns true iff a fold was started.
     */
-  private val folding = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val folding =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
   def maybeFoldFeedAsync(spark: SparkSession, outDir: String,
       retainLast: Int): Boolean = {
-    if (!folding.add(outDir)) return false
     val t = new Thread(() =>
       try foldFeed(spark, outDir, retainLast)
       catch {
@@ -239,10 +246,35 @@ object ConfigPipeline {
       } finally { folding.remove(outDir); () },
       s"graft-feed-fold-${outDir.hashCode}")
     t.setDaemon(true)
+    if (folding.putIfAbsent(outDir, t) != null) return false
     t.start()
     true
   }
-  def awaitFeedFold(): Unit = { while (!folding.isEmpty) Thread.sleep(50) }
+
+  /** Join in-flight folds — scoped to `outDirs` (the dirs of the pipeline
+    * being drained) so a hung fold of some OTHER out dir in the same JVM
+    * cannot block this caller, and bounded by `timeoutMs` so a wedged fold
+    * thread surfaces as a loud warning instead of an indefinite busy-wait.
+    * The no-arg form (tests/bench teardown) joins every in-flight fold.
+    */
+  def awaitFeedFold(outDirs: Iterable[String], timeoutMs: Long = 600000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    outDirs.foreach { d =>
+      val t = folding.get(d)
+      if (t != null) {
+        val left = (deadline - System.nanoTime()) / 1000000L
+        if (left > 0) t.join(left)
+        if (t.isAlive)
+          System.err.println(s"[graft] feed fold of $d still running after " +
+            s"$timeoutMs ms — leaving it to finish in the background " +
+            "(the atomic pointer publish keeps the feed readable either way)")
+      }
+    }
+  }
+  def awaitFeedFold(): Unit = {
+    import scala.jdk.CollectionConverters._
+    awaitFeedFold(folding.keys.asScala.toVector)
+  }
 
   /** Changefeed feed maintenance — the retention the reference gets for free
     * from its MQ broker (messages age out of Kafka/RocketMQ by broker
@@ -371,6 +403,9 @@ object ConfigPipeline {
   def start(spark: SparkSession, c: GraftConfig,
       availableNow: Boolean = false): StreamingQuery = {
     if (c.routes.exists(_.target == "dynamic")) {
+      require(c.wireFormat == "graft",
+        "dynamic routes read the graft wire format (table routing needs the " +
+          "route column on the wire); decode the debezium feed first")
       val (d, cdc) = dynamicConfigs(c)
       return DynamicRoutePipeline.start(spark, d, cdc, availableNow)._1
     }
@@ -378,10 +413,16 @@ object ConfigPipeline {
     val pipelineId = CdcPipeline.resolvePipelineId(c.checkpointDir)
     // default retry knobs; only the retry fields of this config are used
     val retryCfg = CdcPipeline.Config(c.changelogDir, c.checkpointDir)
-    val wire = spark.readStream
-      .schema(Types.changeEventWireSchema)
-      .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
-      .parquet(c.changelogDir)
+    val wire =
+      if (c.wireFormat == "debezium")
+        // a Debezium topic dump: JSON-lines files, one envelope per line
+        spark.readStream
+          .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
+          .text(c.changelogDir)
+      else spark.readStream
+        .schema(Types.changeEventWireSchema)
+        .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
+        .parquet(c.changelogDir)
     val writer = wire.writeStream
       .option("checkpointLocation", c.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
@@ -410,6 +451,9 @@ object ConfigPipeline {
     }
     start(spark, c, availableNow = true).awaitTermination()
     MergeInto.awaitCompaction()
-    awaitFeedFold()
+    // scoped: only this config's feed dirs — another pipeline's fold in the
+    // same JVM must not block this drain
+    awaitFeedFold(c.routes.filter(r => r.target != "lake" && r.outDir != null)
+      .map(_.outDir))
   }
 }

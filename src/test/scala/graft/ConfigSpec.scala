@@ -346,6 +346,80 @@ class ConfigSpec extends SparkSpec {
       yaml + "    rule:\n      include_columns: [conv_id]\n"))
   }
 
+  test("wire_format: debezium — standard CDC envelopes (bare + Kafka-Connect " +
+    "wrapped) drive a lake route end-to-end") {
+    val work = tmpDir("cfg-dbz")
+    val log = work.resolve("log")
+    java.nio.file.Files.createDirectories(log)
+    // a Debezium topic dump: JSON-lines, MySQL-style source coordinates
+    def env(op: String, before: String, after: String, file: String,
+        pos: Long): String =
+      s"""{"before":$before,"after":$after,"source":{"file":"$file","pos":$pos},""" +
+        s""""op":"$op","ts_ms":${1700000000000L + pos}}"""
+    def row(c: String, t: Int, r: String, x: String): String =
+      s"""{"conv_id":"$c","turn_idx":$t,"role":"$r","text":"$x"}"""
+    def wrap(s: String): String = // Kafka-Connect JsonConverter schemas.enable
+      s"""{"schema":{"type":"struct"},"payload":$s}"""
+    val f0 = Seq(
+      env("c", "null", row("A", 0, "user", "hi"), "mysql-bin.000001", 11),
+      wrap(env("c", "null", row("B", 0, "user", "yo"), "mysql-bin.000001", 15)),
+      env("u", row("A", 0, "user", "hi"), row("A", 0, "user", "hi!"),
+        "mysql-bin.000001", 21))
+    val f1 = Seq( // binlog rotate: later file ⇒ higher _pos; r = snapshot read
+      wrap(env("r", "null", row("A", 1, "assistant", "hello"), "mysql-bin.000002", 3)),
+      env("d", row("B", 0, "user", "yo"), "null", "mysql-bin.000002", 9))
+    java.nio.file.Files.write(log.resolve("chunk-0.json"),
+      f0.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(log.resolve("chunk-1.json"),
+      f1.mkString("\n").getBytes("UTF-8"))
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |wire_format: debezium
+         |max_files_per_trigger: 1
+         |schemas: {1: "conv_id STRING, turn_idx INT, role STRING, text STRING"}
+         |routes:
+         |  - name: t
+         |    target: lake
+         |    table_dir: $work/t1
+         |    key_columns: [conv_id, turn_idx]
+         |    num_buckets: 4
+         |""".stripMargin
+    val c = GraftConfig.parse(yaml)
+    assert(c.wireFormat == "debezium")
+    ConfigPipeline.runToCompletion(spark, c)
+    val got = LakeTable.load(spark, s"$work/t1").snapshot()
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "role", "text")
+      .as[(String, Int, String, String)].collect().toSeq
+    // u won LWW over c; r inserted; d removed B/0
+    assert(got == Seq(("A", 0, "user", "hi!"), ("A", 1, "assistant", "hello")),
+      s"got $got")
+    // _pos source preference: lsn (Postgres) beats file+pos beats ts_ms
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("conv_id STRING, turn_idx INT, role STRING, text STRING")
+    val probes = Seq(
+      s"""{"after":${row("C", 0, "u", "x")},"source":{"file":"mysql-bin.000009","pos":5,"lsn":777},"op":"c","ts_ms":1}""",
+      s"""{"after":${row("C", 1, "u", "x")},"source":{"file":"mysql-bin.000009","pos":5},"op":"c","ts_ms":1}""",
+      s"""{"after":${row("C", 2, "u", "x")},"source":{},"op":"c","ts_ms":42}""")
+      .toDF("value")
+    val pos = ChangelogCodec.decodeDebezium(probes, schema)
+      .orderBy("turn_idx").select("_pos").as[Long].collect().toSeq
+    assert(pos == Seq(777L, 9L * 4294967296L + 5L, 42L), s"got $pos")
+    // update-only before image on the withBefore path
+    val up = Seq(env("u", row("D", 0, "u", "old"), row("D", 0, "u", "new"),
+      "mysql-bin.000001", 1), env("c", "null", row("D", 1, "u", "n"),
+      "mysql-bin.000001", 2)).toDF("value")
+    val dec = ChangelogCodec.decodeDebezium(up, schema, withBefore = true)
+      .orderBy("turn_idx")
+      .select($"_before".isNotNull, $"_before.text", $"text")
+      .as[(Boolean, Option[String], String)].collect().toSeq
+    assert(dec == Seq((true, Some("old"), "new"), (false, None, "n")), s"got $dec")
+    // unknown wire_format rejected at parse
+    intercept[IllegalArgumentException](GraftConfig.parse(
+      yaml.replace("wire_format: debezium", "wire_format: avro")))
+  }
+
   test("custom SQL functions reach the config expression surface") {
     val work = tmpDir("cfg-fn")
     // building ANY config registers the engine's custom functions, so YAML

@@ -59,6 +59,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("decodeArrayNested round-trips arbitrary 2-D arrays (null sub-arrays, " +
+    "braces/quotes/commas inside elements)") {
+    import spark.implicits._
+    val rnd = new Random(4096)
+    val alphabet = """ab"\{},NULL xy	"""
+    def elem(): String = (0 until rnd.nextInt(10))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def quote(e: String): String = "\"" + e.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c => c.toString
+    } + "\""
+    val cases = (0 until 120).map { _ =>
+      val rows2d = (0 until rnd.nextInt(5)).map { _ =>
+        if (rnd.nextInt(6) == 0) null
+        else (0 until rnd.nextInt(5)).map(_ =>
+          if (rnd.nextInt(5) == 0) null else elem()).toSeq
+      }.toSeq
+      val lit = rows2d.map {
+        case null => "NULL"
+        case row => row.map {
+          case null => "NULL"
+          case e => quote(e)
+        }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      (lit, rows2d)
+    }
+    val got = cases.map(_._1).toDF("v")
+      .select(graft.changelog.PgDecode.decodeArrayNested(col("v")))
+      .as[Seq[Seq[String]]].collect().toSeq
+    cases.zip(got).foreach { case ((lit, want), parsed) =>
+      assert(parsed == want, s"lit=$lit parsed=$parsed want=$want")
+    }
+  }
+
   test("PgHstore round-trips arbitrary pairs under PG quoting rules") {
     val rnd = new Random(77)
     val alphabet = """kv"\=>, {}x	"""
@@ -204,9 +239,10 @@ class PropertySpec extends SparkSpec {
       val cold = t.metaAt(live.version)
       assert(cold.files.toSet == live.files.toSet, s"seed=$seed files diverge")
       assert((cold.version, cold.schemaId, cold.lastEpoch, cold.lastOffset,
-        cold.baseVersion, cold.lastPipelineId) ==
+        cold.baseVersion, cold.lastPipelineId, cold.lastCompactOffset) ==
         (live.version, live.schemaId, live.lastEpoch, live.lastOffset,
-          live.baseVersion, live.lastPipelineId), s"seed=$seed scalars diverge")
+          live.baseVersion, live.lastPipelineId, live.lastCompactOffset),
+        s"seed=$seed scalars diverge")
       assert(cold.lineage == live.lineage && cold.history == live.history,
         s"seed=$seed lineage/history diverge")
       // every retained version reconstructs (time travel across anchors)
@@ -229,5 +265,43 @@ class PropertySpec extends SparkSpec {
     }
     MergeInto.awaitCompaction()
     assert(state(t) == foldOracle(evs))
+  }
+
+  test("auto tombstone GC: drops only below-watermark tombstones, keeps the " +
+    "fence, leaves lineage untouched, and fenced replays stay dead") {
+    val t = fresh()
+    def tombstoneRows = t.meta.files.filter(_.del).map(_.rows).sum
+    // epoch 0: k0..k7 live at pos 0..7; epoch 1: delete k0..k3 at pos 10..13
+    MergeInto.merge(t,
+      toDf((0 until 8).map(i => Ev(OpInsert, i.toLong, s"k$i", s"v$i"))), 0)
+    val delBatch = (0 until 4).map(i => Ev(OpDelete, 10L + i, s"k$i", null))
+    MergeInto.merge(t, toDf(delBatch), 1)
+    assert(tombstoneRows == 4)
+    // 1st auto compaction: no watermark recorded yet → must GC nothing,
+    // then persist lastOffset (13) as the next cycle's watermark
+    assert(MergeInto.maybeCompactAsync(t, ratio = 0.0, minRows = 0L))
+    MergeInto.awaitCompaction(t)
+    assert(tombstoneRows == 4, "first compaction must not GC (watermark -1)")
+    assert(t.refresh().lastCompactOffset == 13L)
+    // churn into EVERY bucket so the 2nd compaction rewrites both
+    MergeInto.merge(t,
+      toDf((0 until 16).map(i => Ev(OpInsert, 20L + i, s"n$i", s"w$i"))), 2)
+    val lineageBefore = t.refresh().lineage
+    assert(MergeInto.maybeCompactAsync(t, ratio = 0.0, minRows = 0L))
+    MergeInto.awaitCompaction(t)
+    val m = t.refresh()
+    // tombstones at pos 10..12 < watermark 13 are GC'd; pos 13 survives
+    assert(tombstoneRows == 1, s"want only the pos-13 tombstone, files=${m.files.filter(_.del)}")
+    assert(m.lineage == lineageBefore, "compaction must not touch lineage")
+    assert(m.lastEpoch == 2 && m.lastOffset == 35L, "compaction must not move the fence")
+    // fenced replay of the ORIGINAL epochs (the engine's only replay path)
+    // is skipped wholesale — GC'd keys cannot resurrect
+    val sBefore = state(t)
+    assert(!sBefore.contains("k0") && sBefore.contains("k4") && sBefore.contains("n15"))
+    val r0 = MergeInto.merge(t,
+      toDf((0 until 8).map(i => Ev(OpInsert, i.toLong, s"k$i", s"v$i"))), 0)
+    val r1 = MergeInto.merge(t, toDf(delBatch), 1)
+    assert(r0.skipped && r1.skipped)
+    assert(state(t) == sBefore, "fenced replay changed state after tombstone GC")
   }
 }
