@@ -23,11 +23,11 @@ if [ $# -gt 0 ]; then
   # single run: run_campaign.sh <levels> <tag> [extra-env]
   run "$1" "$2" "${3:-}"
 else
-  # round-4 default: one full 2→8 protocol run, then 4→16 attempts hunting a
+  # round-5 default: one full 2→8 protocol run, then 4→16 attempts hunting a
   # calm window (see README §"The 4→16 window")
-  run "2,8"  r4_run1_full_2-8        ""
-  run "4,16" r4_run2_replay_4-16     "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
-  run "2,8"  r4_run3_replay_2-8      "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
-  run "4,16" r4_run4_replay_4-16     "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+  run "2,8"  r5_run1_full_2-8        ""
+  run "4,16" r5_run2_replay_4-16     "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+  run "2,8"  r5_run3_replay_2-8      "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
+  run "4,16" r5_run4_replay_4-16     "SPARK_GRAFT_BENCH_SKIP_QUERIES=1"
 fi
 echo "campaign done $(date -u +%H:%M:%S)"

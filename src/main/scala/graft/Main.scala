@@ -151,6 +151,13 @@ object Main {
         case None => println("nothing to fold")
       }
 
+    // read a changefeed out dir the fold-aware way (folded generations ∪
+    // live epochs — a plain parquet read would miss folded history)
+    case "read-feed" :: outDir :: rest =>
+      val df = graft.streaming.ConfigPipeline.readFeed(spark, outDir)
+      println(s"messages=${df.count()}")
+      df.show(rest.headOption.map(_.toInt).getOrElse(10), truncate = false)
+
     case "status" :: tableDir :: _ =>
       val table = LakeTable.load(spark, tableDir)
       val m = table.meta
@@ -186,7 +193,7 @@ object Main {
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
-        "usage: gen|init|run|run-config|run-dynamic|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|sql|query ...")
+        "usage: gen|init|run|run-config|run-dynamic|bootstrap|changefeed|status|set-offset|compact|vacuum|fold-feed|read-feed|sql|query ...")
       sys.exit(2)
   }
 }

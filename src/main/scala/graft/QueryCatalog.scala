@@ -562,13 +562,21 @@ object QueryCatalog {
        |    max(CASE WHEN action IN $rem THEN ord END) AS last_rem
        |  FROM n GROUP BY 1, 2, 3, 4, 5)
        |SELECT target, structure, key, field, elem, '' AS uid, wval AS value,
-       |       CAST(wscore AS DOUBLE) AS score, word AS ord
+       |       CAST(wscore AS DOUBLE) AS score, word AS ord, FALSE AS marker
        |FROM g WHERE structure <> 'list' AND wact NOT IN $rem
+       |UNION ALL -- winning removals persist as markers (anti-resurrection)
+       |SELECT target, structure, key, field, elem, '', NULL,
+       |       CAST(0.0 AS DOUBLE), word, TRUE
+       |FROM g WHERE structure <> 'list' AND wact IN $rem
        |UNION ALL
        |SELECT n.target, n.structure, n.key, n.field, n.elem,
-       |       CAST(n.ord AS VARCHAR), n.value, CAST(0.0 AS DOUBLE), n.ord
+       |       CAST(n.ord AS VARCHAR), n.value, CAST(0.0 AS DOUBLE), n.ord, FALSE
        |FROM n JOIN g USING (target, structure, key, field, elem)
        |WHERE n.action = 'RPUSH' AND (g.last_rem IS NULL OR n.ord > g.last_rem)
+       |UNION ALL -- the last LREM per (key, value) persists as a marker
+       |SELECT target, structure, key, field, elem, '', NULL,
+       |       CAST(0.0 AS DOUBLE), last_rem, TRUE
+       |FROM g WHERE structure = 'list' AND last_rem IS NOT NULL
        |ORDER BY target, structure, key, field, elem, uid, ord""".stripMargin
   }
 

@@ -60,6 +60,12 @@ final case class RouteConf(
     reserveRawData: Boolean = false,
     rule: Rule = Rule(),
     ops: Seq[ExprOp] = Nil,
+    // optional structure-level APPLICATION of the route's `ops` stream
+    // (graft.merge.SinkOpState): the emitted op algebra — SET/DEL, HSET/
+    // HDEL, SADD/SREM, ZADD/ZREM, RPUSH/LREM with the reference's
+    // value-addressed retraction (redis.go:225-268) — folds into a keyed,
+    // exactly-once lake state table at this dir, alongside the feed output
+    stateDir: String = null,
     // dynamic (wildcard) target — the reference's `include_table_regex` UX
     // (transfer_service.go:197-237) declared in YAML: tables are discovered
     // from `routeCol` values matching `pattern` mid-stream, created under
@@ -165,6 +171,7 @@ object GraftConfig {
       reserveRawData = bool(m, "reserve_raw_data", default = false),
       rule = m.get("rule").map(r => parseRule(asMap(r))).getOrElse(Rule()),
       ops = list(m, "ops").map(o => parseOp(asMap(o))),
+      stateDir = str(m, "state_dir"),
       routeCol = str(m, "route_col"),
       pattern = str(m, "pattern"),
       tablesDir = str(m, "tables_dir"),
@@ -189,7 +196,19 @@ object GraftConfig {
       // emits script ops (which carry their own keys)
       require(rc.ops.nonEmpty || rc.keyColumns.nonEmpty,
         s"route ${rc.name}: changefeed target needs key_columns (or ops)")
+      require(rc.stateDir == null || rc.ops.nonEmpty,
+        s"route ${rc.name}: state_dir applies the ops stream — declare ops")
+      if (rc.stateDir != null) {
+        // fail at parse, not mid-stream in the fold's unknown-action guard
+        val bad = rc.ops.map(_.action)
+          .filterNot(graft.merge.SinkOpState.StructureOf.contains)
+        require(bad.isEmpty, s"route ${rc.name}: state_dir can only apply " +
+          s"keyed-store actions (${graft.merge.SinkOpState.StructureOf.keys.toSeq.sorted.mkString("/")}); got ${bad.distinct.mkString(",")}")
+      }
     }
+    if (rc.target != "changefeed")
+      require(rc.stateDir == null,
+        s"route ${rc.name}: state_dir is only valid on changefeed ops routes")
     rc
   }
 

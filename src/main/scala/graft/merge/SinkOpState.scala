@@ -1,5 +1,6 @@
 package graft.merge
 
+import graft.core.Types.{OpDelete, OpInsert}
 import graft.lake.LakeTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,15 +30,22 @@ import org.apache.spark.sql.types._
   * Per identity (target, structure, key, field, elem — elem is the member
   * value for set/zset/list, '' otherwise):
   *   - non-list: the op with the greatest `ord` wins; a winning removal
-  *     (DEL/HDEL/SREM/ZREM) leaves no row — LWW, exactly the reference's
-  *     in-order single-threaded apply made explicit.
+  *     (DEL/HDEL/SREM/ZREM) leaves a MARKER row (`marker = true`, the removal's
+  *     ord) instead of a live row — LWW, exactly the reference's in-order
+  *     single-threaded apply made explicit.
   *   - list: surviving entries = RPUSH ops with `ord` greater than the last
   *     LREM's `ord`; each survivor is its own row (uid = ord) so duplicates
-  *     and RPUSH order are preserved.
-  * The fold is ASSOCIATIVE over ord-carrying rows: folded state re-expressed
-  * as ops (its stored ords) unioned with newer ops folds to the same result
-  * as one fold over the full stream — which is what makes the incremental
-  * [[applyBatch]] equal to a from-scratch replay.
+  *     and RPUSH order are preserved; the last LREM persists as a marker row
+  *     (uid = '', marker = true) alongside the survivors.
+  * Markers are the op algebra's TOMBSTONES: without them, an upstream
+  * redelivery (at-least-once source) of an op OLDER than an applied removal
+  * would resurrect state in a later batch — the exact anti-resurrection role
+  * tombstone rows play in the main merge. Read live state via [[liveState]]
+  * (`!marker`). With markers the fold is ASSOCIATIVE over ord-carrying rows:
+  * folded state re-expressed as ops (its stored ords, removals from markers)
+  * unioned with newer ops folds to the same result as one fold over the full
+  * stream — which is what makes the incremental [[applyBatch]] equal to a
+  * from-scratch replay, and replay-safe under out-of-order redelivery.
   *
   * == Scale (100 TB state, 1000 executors) ==
   * [[fold]] is ONE hash aggregation (map-side combined — per-identity op
@@ -67,7 +75,9 @@ object SinkOpState {
     */
   val KeyCols: Seq[String] = Seq("target", "structure", "key", "field", "elem", "uid")
 
-  /** State-table row shape: identity + payload + the creating op's ord. */
+  /** State-table row shape: identity + payload + the creating op's ord +
+    * the removal-marker flag (see class doc).
+    */
   val StateSchema: StructType = StructType(Seq(
     StructField("target", StringType, nullable = false),
     StructField("structure", StringType, nullable = false),
@@ -77,7 +87,16 @@ object SinkOpState {
     StructField("uid", StringType, nullable = false),
     StructField("value", StringType),
     StructField("score", DoubleType),
-    StructField("ord", LongType)))
+    StructField("ord", LongType),
+    StructField("marker", BooleanType, nullable = false)))
+
+  /** The live (non-marker) state — what a Redis GET/LRANGE/SMEMBERS would
+    * see. Markers stay in the table to fence redelivered older ops; they can
+    * be GC'd below an upstream-redelivery horizon the same way the merge
+    * path GC's tombstones.
+    */
+  def liveState(table: LakeTable): DataFrame =
+    table.snapshot().where(!col("marker"))
 
   private def structureCol(action: Column): Column =
     StructureOf.foldLeft(lit(null).cast("string")) { case (acc, (a, s)) =>
@@ -104,7 +123,11 @@ object SinkOpState {
   }
 
   /** Fold an ord-carrying op stream to final state rows ([[StateSchema]]).
-    * One aggregation; see the class doc for semantics.
+    * ONE hash aggregation (map-side combined) + one explode projection — a
+    * union of per-structure branches would recompute the aggregate per
+    * branch; instead each group emits its entries as an array (non-list:
+    * the LWW winner unless it is a removal; list: the post-last-LREM
+    * pushes) and a single `explode` flattens them.
     */
   def fold(ops: DataFrame): DataFrame = {
     val removalsSeq = Removals.toSeq
@@ -116,21 +139,32 @@ object SinkOpState {
           col("ord")).as("win"),
         max(when(col("action").isin(removalsSeq: _*), col("ord"))).as("lastRem"),
         collect_list(when(col("action") === "RPUSH", col("ord"))).as("pushes"))
-    val others = g.where(col("structure") =!= "list" &&
-        !col("win.action").isin(removalsSeq: _*))
+    def entry(uid: Column, value: Column, score: Column, ord: Column,
+        marker: Column): Column =
+      struct(uid.cast("string").as("uid"), value.cast("string").as("value"),
+        score.cast("double").as("score"), ord.cast("long").as("ord"),
+        marker.cast("boolean").as("marker"))
+    val noEntries = array().cast(
+      "array<struct<uid:string,value:string,score:double,ord:bigint,marker:boolean>>")
+    val entries = when(col("structure") === "list",
+      concat(
+        // the last LREM persists as a marker (see class doc)
+        when(col("lastRem").isNotNull,
+          array(entry(lit(""), lit(null), lit(0.0), col("lastRem"), lit(true))))
+          .otherwise(noEntries),
+        transform(
+          filter(col("pushes"), p => p > coalesce(col("lastRem"), lit(Long.MinValue))),
+          o => entry(o, col("elem"), lit(0.0), o, lit(false)))))
+      .otherwise(when(col("win.action").isin(removalsSeq: _*),
+        array(entry(lit(""), lit(null), lit(0.0), col("win.ord"), lit(true))))
+        .otherwise(array(entry(lit(""), col("win.value"), col("win.score"),
+          col("win.ord"), lit(false)))))
+    g.select(col("target"), col("structure"), col("key"), col("field"),
+        col("elem"), explode(entries).as("e"))
       .select(col("target"), col("structure"), col("key"), col("field"),
-        col("elem"), lit("").as("uid"),
-        col("win.value").as("value"), col("win.score").as("score"),
-        col("win.ord").as("ord"))
-    val lists = g.where(col("structure") === "list")
-      .select(col("target"), col("structure"), col("key"), col("field"),
-        col("elem"),
-        explode(filter(col("pushes"),
-          p => p > coalesce(col("lastRem"), lit(Long.MinValue)))).as("ord"))
-      .select(col("target"), col("structure"), col("key"), col("field"),
-        col("elem"), col("ord").cast("string").as("uid"),
-        col("elem").as("value"), lit(0.0).as("score"), col("ord"))
-    others.unionByName(lists)
+        col("elem"), col("e.uid").as("uid"), col("e.value").as("value"),
+        col("e.score").as("score"), col("e.ord").as("ord"),
+        col("e.marker").as("marker"))
   }
 
   /** Create (or load) a state table under `dir`, bucketed by `key` so
@@ -140,20 +174,34 @@ object SinkOpState {
     if (LakeTable.exists(dir)) LakeTable.load(spark, dir)
     else LakeTable.create(spark, dir, StateSchema, KeyCols, Seq("key"), numBuckets)
 
-  /** Re-express live state rows as the ops that would recreate them (the
-    * associativity hinge: fold(stateAsOps ∪ newOps) == fold(allOps)).
+  /** Re-express state rows as the ops that would recreate them — live rows
+    * as their writes, marker rows as their removals (the associativity
+    * hinge: fold(stateAsOps ∪ newOps) == fold(allOps)).
     */
   private def stateAsOps(state: DataFrame): DataFrame =
     state.select(
       col("target"),
-      when(col("structure") === "string", "SET")
-        .when(col("structure") === "hash", "HSET")
-        .when(col("structure") === "set", "SADD")
-        .when(col("structure") === "zset", "ZADD")
-        .otherwise("RPUSH").as("action"),
+      when(col("marker"),
+        when(col("structure") === "string", "DEL")
+          .when(col("structure") === "hash", "HDEL")
+          .when(col("structure") === "set", "SREM")
+          .when(col("structure") === "zset", "ZREM")
+          .otherwise("LREM"))
+        .otherwise(
+          when(col("structure") === "string", "SET")
+            .when(col("structure") === "hash", "HSET")
+            .when(col("structure") === "set", "SADD")
+            .when(col("structure") === "zset", "ZADD")
+            .otherwise("RPUSH")).as("action"),
       col("key"),
       when(col("field") === "", lit(null)).otherwise(col("field")).as("field"),
-      col("score"), col("value"), col("ord"))
+      col("score"),
+      // member-addressed structures carry the member as the op value (a
+      // marker's own `value` is null; its elem addresses the removal)
+      when(col("structure").isin("set", "zset", "list"), col("elem"))
+        .otherwise(when(col("marker"), lit(null)).otherwise(col("value")))
+        .as("value"),
+      col("ord"))
 
   /** Apply one micro-batch of ops (target, action, key, field, score, value,
     * ord — ord monotone across batches) to the state table, exactly-once via
@@ -177,22 +225,31 @@ object SinkOpState {
       try {
         val folded = fold(stateAsOps(old).unionByName(
           prepped.select("target", "action", "key", "field", "score", "value", "ord")))
-        val outCols = StateSchema.fieldNames.toSeq
-        // diff old vs folded by FULL row: unchanged entries produce no churn
-        val inserts = folded.select(outCols.map(col): _*)
-          .exceptAll(old.select(outCols.map(col): _*))
-        val deletes = old.select(KeyCols.map(col): _*)
-          .except(folded.select(KeyCols.map(col): _*))
-          .select(col("target"), col("structure"), col("key"), col("field"),
-            col("elem"), col("uid"),
-            lit(null).cast("string").as("value"),
-            lit(null).cast("double").as("score"),
-            lit(null).cast("long").as("ord"))
-        val changes = inserts.withColumn("_op", lit("insert"))
-          .unionByName(deletes.withColumn("_op", lit("delete")))
+        // diff old vs folded in ONE full-outer join, one pass (except/
+        // exceptAll would cost two extra aggregate shuffles per batch):
+        // new-only or payload-changed → upsert; old-only → delete;
+        // identical → skip (no churn). `ord` is non-null on both sides, so
+        // a null side marks absence.
+        val payload = Seq("value", "score", "ord", "marker")
+        val n = folded.select((KeyCols ++ payload).map(col): _*)
+          .withColumnsRenamed(payload.map(p => p -> s"_n_$p").toMap)
+        val o = old.select((KeyCols ++ payload).map(col): _*)
+          .withColumnsRenamed(payload.map(p => p -> s"_o_$p").toMap)
+        val changes = n.join(o, KeyCols, "full_outer")
+          .withColumn("_op",
+            when(col("_n_ord").isNull, OpDelete)
+              .when(col("_o_ord").isNull ||
+                !(col("_n_ord") <=> col("_o_ord")) ||
+                !(col("_n_value") <=> col("_o_value")) ||
+                !(col("_n_score") <=> col("_o_score")) ||
+                !(col("_n_marker") <=> col("_o_marker")), OpInsert)
+              .otherwise("skip"))
+          .where(col("_op") =!= "skip")
           .withColumn("_pos", lit(epoch))
           .withColumn("_event_ts", lit(null).cast("timestamp"))
-          .select((Seq("_op", "_pos", "_event_ts") ++ outCols).map(col): _*)
+          .select(Seq(col("_op"), col("_pos"), col("_event_ts")) ++
+            KeyCols.map(col) ++ payload.map(p =>
+              col(s"_n_$p").as(p)): _*)
         MergeInto.merge(table, changes, epoch,
           pipelineId = pipelineId, allowTakeover = allowTakeover)
       } finally { old.unpersist(); () }

@@ -39,4 +39,28 @@ object ExprTransform {
         expr(o.value).cast("string").as("value"))
     }.reduce(_ unionAll _)
   }
+
+  /** [[run]] plus a TOTAL op order for structure-level application
+    * ([[graft.merge.SinkOpState]]): `ord = _pos * 16 + config-op-index` —
+    * stream order first, then declaration order, the order the reference's
+    * single-threaded applier executes a script's emitted ops in. Needs the
+    * decoded `_pos` on the input.
+    */
+  def runOrdered(df: DataFrame, ops: Seq[ExprOp]): DataFrame = {
+    require(ops.nonEmpty, "ExprTransform needs at least one op")
+    require(ops.size <= EventTransform.MaxOpsPerEvent,
+      s"at most ${EventTransform.MaxOpsPerEvent} ops per route (ord encoding)")
+    require(df.columns.contains("_pos"),
+      "runOrdered needs the decoded _pos column for the op order")
+    ops.zipWithIndex.map { case (o, i) =>
+      df.where(expr(o.when)).select(
+        lit(o.target).as("target"),
+        lit(o.action).as("action"),
+        expr(o.key).cast("string").as("key"),
+        expr(o.field).cast("string").as("field"),
+        expr(o.score).cast("double").as("score"),
+        expr(o.value).cast("string").as("value"),
+        (col("_pos") * EventTransform.MaxOpsPerEvent + i).cast("long").as("ord"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -31,7 +31,10 @@ object ConfigPipeline {
   final case class Built(conf: RouteConf, table: LakeTable,
       // schema_id → RULE-OUTPUT shape per registry version: the evolution
       // timeline of THIS route's table (lake routes only)
-      outRegistry: Map[Int, StructType] = Map.empty)
+      outRegistry: Map[Int, StructType] = Map.empty,
+      // ops routes with state_dir: the SinkOpState table their op stream
+      // folds into (exactly-once via its own per-table fence)
+      stateTable: LakeTable = null)
 
   /** The decode registry for a config: the YAML `schemas:` block when
     * declared, the built-in transcript registry otherwise.
@@ -62,7 +65,9 @@ object ConfigPipeline {
     graft.functions.GraftFunctions.register(spark)
     val registry = registryOf(c)
     c.routes.map { r =>
-      if (r.target != "lake") Built(r, null)
+      if (r.target != "lake") Built(r, null,
+        stateTable = if (r.stateDir == null) null
+          else graft.merge.SinkOpState.createOrLoad(spark, r.stateDir, r.numBuckets))
       else {
         val outRegistry = registry.map { case (sid, s) =>
           sid -> outShapeFor(spark, r, s) }
@@ -134,8 +139,11 @@ object ConfigPipeline {
               pipelineId = pipelineId, allowTakeover = c.allowPipelineTakeover)
           case _ =>
             val out =
-              if (b.conf.ops.nonEmpty) ExprTransform.run(routed, b.conf.ops)
-              else ChangefeedOut.toMessages(routed.drop("_schema_id"),
+              if (b.conf.ops.nonEmpty) {
+                // state_dir routes carry the total op order on the feed too
+                if (b.stateTable != null) ExprTransform.runOrdered(routed, b.conf.ops)
+                else ExprTransform.run(routed, b.conf.ops)
+              } else ChangefeedOut.toMessages(routed.drop("_schema_id"),
                 b.conf.keyColumns, b.conf.reserveRawData)
             // exactly-once: one partition dir per epoch, OVERWRITTEN on
             // replay — a crash between this write and the checkpoint save
@@ -166,7 +174,14 @@ object ConfigPipeline {
               finally flat.close()
             }
             out.write.mode("overwrite").parquet(s"${b.conf.outDir}/epoch=$epoch")
-            MergeResult(epoch, skipped = false, 0, 0, 0, 0)
+            if (b.stateTable == null) MergeResult(epoch, skipped = false, 0, 0, 0, 0)
+            else
+              // fold the op stream into the route's state table — its OWN
+              // (epoch, pipelineId) fence makes the apply exactly-once even
+              // though the feed write above is overwrite-idempotent only
+              graft.merge.SinkOpState.applyBatch(b.stateTable, out, epoch,
+                pipelineId = pipelineId,
+                allowTakeover = c.allowPipelineTakeover)
         }
         b.conf.name -> res
       }.toMap

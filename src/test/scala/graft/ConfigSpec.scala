@@ -420,6 +420,70 @@ class ConfigSpec extends SparkSpec {
       yaml.replace("wire_format: debezium", "wire_format: avro")))
   }
 
+  test("ops route with state_dir: the emitted op algebra folds into an " +
+    "exactly-once keyed state table (incl. list retraction)") {
+    import graft.merge.SinkOpState
+    val work = tmpDir("cfg-state")
+    val log = s"$work/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 6000, nConversations = 120, chunkSize = 1500), log)
+    val yaml =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp
+         |max_files_per_trigger: 2
+         |routes:
+         |  - name: ops
+         |    target: changefeed
+         |    out_dir: $work/feed
+         |    state_dir: $work/state
+         |    ops:
+         |      - {target: redis, action: SET, key: "concat('t:', conv_id, ':', turn_idx)",
+         |         value: "text", when: "_op <> 'delete'"}
+         |      - {target: redis, action: DEL, key: "concat('t:', conv_id, ':', turn_idx)",
+         |         when: "_op = 'delete'"}
+         |      - {target: redis, action: LREM, key: "concat('l:', conv_id)",
+         |         value: "role", when: "_op <> 'insert'"}
+         |      - {target: redis, action: RPUSH, key: "concat('l:', conv_id)",
+         |         value: "role", when: "_op <> 'delete'"}
+         |""".stripMargin
+    val c = GraftConfig.parse(yaml)
+    ConfigPipeline.runToCompletion(spark, c)
+    val state = LakeTable.load(spark, s"$work/state")
+    // one-shot fold over the whole decoded stream == the incremental,
+    // fenced, multi-epoch application (associativity through the real
+    // pipeline, not just SinkOpStateSpec's direct calls)
+    val wire = spark.read.schema(Types.changeEventWireSchema).parquet(log)
+    val decoded = ChangelogCodec.decode(wire,
+      Types.transcriptSchemas(Types.transcriptSchemas.keys.max))
+    val routed = ConfigPipeline.routeTransform(decoded, c.routes.head)
+    val expected = SinkOpState.fold(ExprTransform.runOrdered(routed, c.routes.head.ops))
+    val cols = SinkOpState.StateSchema.fieldNames.map(col).toSeq
+    assert(state.snapshot().select(cols: _*).collect().toSet ==
+      expected.select(cols: _*).collect().toSet)
+    assert(state.snapshot().where($"structure" === "list").count() > 0 &&
+      state.snapshot().where($"structure" === "string").count() > 0)
+    // the feed carries the same op rows WITH the total order
+    val feed = ConfigPipeline.readFeed(spark, s"$work/feed")
+    assert(feed.columns.contains("ord"))
+    // draining again from the same checkpoint: no new data, state unchanged
+    val v = state.refresh().version
+    ConfigPipeline.runToCompletion(spark, c)
+    assert(state.refresh().version == v)
+    // validation: state_dir demands ops; non-changefeed targets reject it
+    intercept[IllegalArgumentException](GraftConfig.parse(yaml
+      .replace("    ops:", "    xops:").replace("      - {target: redis", "      - {xtarget: redis")))
+    intercept[IllegalArgumentException](GraftConfig.parse(
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp2
+         |routes:
+         |  - name: bad
+         |    target: lake
+         |    table_dir: $work/t
+         |    key_columns: [conv_id]
+         |    state_dir: $work/s2
+         |""".stripMargin))
+  }
+
   test("custom SQL functions reach the config expression surface") {
     val work = tmpDir("cfg-fn")
     // building ANY config registers the engine's custom functions, so YAML

@@ -18,6 +18,11 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  /** An adaptive plan's toString appends the pre-AQE "Initial Plan" section,
+    * which would double-count nodes — gate on the final section only.
+    */
+  private def finalPlan(df: DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
 
   test("filter pushdown reaches the parquet scan (PushedFilters)") {
     val df = spark.read.parquet(s"$sf/events.parquet")
@@ -169,6 +174,65 @@ class PlanSpec extends SparkSpec {
     val readSchema = f.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
     assert(readSchema.contains("text") && !readSchema.contains("lang"),
       s"scan not pruned to the text column: $readSchema")
+  }
+
+  test("debezium decode: ONE JSON parse of the envelope feeds every derived " +
+    "column (no per-column re-parse)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "conv_id STRING, turn_idx INT, text STRING")
+    // non-foldable input (a literal Seq constant-folds the whole decode)
+    val wire = spark.range(4).select(format_string(
+      """{"after":{"conv_id":"c%d","turn_idx":0,"text":"x"},""" +
+        """"source":{"file":"mysql-bin.000001","pos":%d},"op":"c","ts_ms":1}""",
+      col("id"), col("id")).as("value"))
+    val df = graft.changelog.ChangelogCodec.decodeDebezium(wire, schema,
+      withBefore = true)
+    val p = finalPlan(df)
+    // from_json appears once; the Kafka-Connect probe is get_json_object
+    val parses = "from_json".r.findAllIn(p).size
+    assert(parses == 1, s"envelope parsed $parses times:\n$p")
+  }
+
+  test("SinkOpState.fold: one hash aggregation, map-side combined, no joins") {
+    import spark.implicits._
+    val ops = (0 until 64).map(i =>
+      ("redis", if (i % 3 == 0) "RPUSH" else "SET", s"k${i % 8}",
+        null.asInstanceOf[String], 0.0, s"v$i", i.toLong))
+      .toDF("target", "action", "key", "field", "score", "value", "ord")
+    val df = graft.merge.SinkOpState.fold(ops)
+    df.collect()
+    val p = finalPlan(df)
+    assert(!p.contains("Join"), s"fold must not join:\n$p")
+    // exactly one exchange: the identity groupBy (entries explode from the
+    // single aggregated child — no per-structure union recompute)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"fold must shuffle exactly once ($exchanges):\n$p")
+    // partial aggregation before the exchange (map-side combine): per-key op
+    // runs collapse before they travel
+    assert(plan(df).contains("partial_"), s"no map-side combine:\n${plan(df)}")
+  }
+
+  test("SinkOpState.applyBatch state lookup: broadcast semi join — the state " +
+    "side never shuffles") {
+    import spark.implicits._
+    val t = graft.merge.SinkOpState.createOrLoad(spark,
+      tmpDir("plan-sinkop").resolve("state").toString, numBuckets = 2)
+    val ops = Seq(("redis", "SET", "a", null.asInstanceOf[String], 0.0, "v", 1L))
+      .toDF("target", "action", "key", "field", "score", "value", "ord")
+    graft.merge.SinkOpState.applyBatch(t, ops, 0)
+    val ops2 = Seq(("redis", "SET", "a", null.asInstanceOf[String], 0.0, "w", 2L))
+      .toDF("target", "action", "key", "field", "score", "value", "ord")
+    // capture the touched-state plan the second batch builds
+    val ident = Seq("target", "structure", "key", "field", "elem")
+    val touched = Seq(("redis", "string", "a", "", "")).toDF(ident: _*)
+    val probe = t.snapshot().join(broadcast(touched), ident, "left_semi")
+    probe.collect()
+    val p = plan(probe)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"state lookup must broadcast the touched set:\n$p")
+    graft.merge.SinkOpState.applyBatch(t, ops2, 1)
+    assert(t.snapshot().where(col("key") === "a").select("value")
+      .as[String].head() == "w")
   }
 
   test("read facade: pruning + pushed filters reach the parquet scans inside the resolve") {

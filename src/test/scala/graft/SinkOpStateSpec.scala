@@ -23,50 +23,57 @@ class SinkOpStateSpec extends SparkSpec {
   private def toDf(ops: Seq[Op]): DataFrame =
     ops.toDF("target", "action", "key", "field", "score", "value", "ord")
 
+  type StateRow = (String, String, String, String, String, String,
+    String, Double, Long, Boolean)
+
   /** The reference semantics, single-threaded in ord order (the go applier's
-    * in-order Consume, service/handler.go:135-194 + redis.go:225-268).
+    * in-order Consume, service/handler.go:135-194 + redis.go:225-268), plus
+    * the engine's marker rows: a winning removal (non-list) / the last LREM
+    * per (key, value) persists with del = true.
     */
-  private def refFold(ops: Seq[Op]): Set[(String, String, String, String,
-      String, String, String, Double, Long)] = {
-    // identity (structure,key,field,elem) → (value, score, ord); lists keep
-    // every surviving push
-    val kv = mutable.Map[(String, String), (String, Long)]()          // string
-    val hash = mutable.Map[(String, String), (String, Long)]()        // (k,f)
-    val set = mutable.Map[(String, String), Long]()                   // (k,v)
-    val zset = mutable.Map[(String, String), (Double, Long)]()        // (k,v)
-    val list = mutable.Map[String, mutable.ArrayBuffer[(String, Long)]]()
+  private def refFold(ops: Seq[Op]): Set[StateRow] = {
+    // non-list identity → last applied op (write or removal); lists keep
+    // surviving pushes + the last LREM ord per (key, value)
+    val last = mutable.Map[(String, String, String), (String, String, Double, Long)]()
+    val pushes = mutable.Map[String, mutable.ArrayBuffer[(String, Long)]]()
+    val lastRem = mutable.Map[(String, String), Long]()
     ops.sortBy(_._7).foreach { case (_, a, k, f, s, v, ord) => a match {
-      case "SET" => kv(( "s", k)) = (v, ord)
-      case "DEL" => kv.remove(("s", k))
-      case "HSET" => hash((k, f)) = (v, ord)
-      case "HDEL" => hash.remove((k, f))
-      case "SADD" => set((k, v)) = ord
-      case "SREM" => set.remove((k, v))
-      case "ZADD" => zset((k, v)) = (s, ord)
-      case "ZREM" => zset.remove((k, v))
+      case "SET" => last(("string", k, "")) = (a, v, 0.0, ord)
+      case "DEL" => last(("string", k, "")) = (a, null, 0.0, ord)
+      case "HSET" => last(("hash", k, f)) = (a, v, 0.0, ord)
+      case "HDEL" => last(("hash", k, f)) = (a, null, 0.0, ord)
+      case "SADD" => last(("set", k, v)) = (a, v, 0.0, ord)
+      case "SREM" => last(("set", k, v)) = (a, null, 0.0, ord)
+      case "ZADD" => last(("zset", k, v)) = (a, v, s, ord)
+      case "ZREM" => last(("zset", k, v)) = (a, null, 0.0, ord)
       case "RPUSH" =>
-        list.getOrElseUpdate(k, mutable.ArrayBuffer()) += ((v, ord))
-      case "LREM" => list.get(k).foreach(b => b.filterInPlace(_._1 != v))
+        pushes.getOrElseUpdate(k, mutable.ArrayBuffer()) += ((v, ord))
+      case "LREM" =>
+        pushes.get(k).foreach(b => b.filterInPlace(_._1 != v))
+        lastRem((k, v)) = ord
     }}
-    val out = mutable.Set[(String, String, String, String, String, String,
-      String, Double, Long)]()
-    kv.foreach { case ((_, k), (v, o)) =>
-      out += (("redis", "string", k, "", "", "", v, 0.0, o)) }
-    hash.foreach { case ((k, f), (v, o)) =>
-      out += (("redis", "hash", k, f, "", "", v, 0.0, o)) }
-    set.foreach { case ((k, v), o) =>
-      out += (("redis", "set", k, "", v, "", v, 0.0, o)) }
-    zset.foreach { case ((k, v), (s, o)) =>
-      out += (("redis", "zset", k, "", v, "", v, s, o)) }
-    list.foreach { case (k, b) => b.foreach { case (v, o) =>
-      out += (("redis", "list", k, "", v, o.toString, v, 0.0, o)) } }
+    val out = mutable.Set[StateRow]()
+    last.foreach { case ((st, k, fe), (a, v, s, o)) =>
+      val del = SinkOpState.Removals(a)
+      val (field, elem) = st match {
+        case "hash" => (fe, "")
+        case "string" => ("", "")
+        case _ => ("", fe)
+      }
+      out += (("redis", st, k, field, elem, "",
+        if (del) null else v, s, o, del))
+    }
+    pushes.foreach { case (k, b) => b.foreach { case (v, o) =>
+      out += (("redis", "list", k, "", v, o.toString, v, 0.0, o, false)) } }
+    lastRem.foreach { case ((k, v), o) =>
+      out += (("redis", "list", k, "", v, "", null, 0.0, o, true)) }
     out.toSet
   }
 
   private def rows(df: DataFrame) = df
     .select("target", "structure", "key", "field", "elem", "uid", "value",
-      "score", "ord")
-    .as[(String, String, String, String, String, String, String, Double, Long)]
+      "score", "ord", "marker")
+    .as[StateRow]
     .collect().toSet
 
   /** Deterministic op soup over a small keyspace: heavy per-key op runs so
@@ -109,9 +116,14 @@ class SinkOpStateSpec extends SparkSpec {
       op("LREM", "l:a", 4, value = "x"),  // removes BOTH x's, keeps y
       op("RPUSH", "l:a", 5, value = "x"), // survives (after the LREM)
       op("RPUSH", "l:a", 6, value = "x")) // duplicate survives too
-    val got = SinkOpState.fold(toDf(ops))
+    val folded = SinkOpState.fold(toDf(ops))
+    val got = folded.where(!$"marker")
       .orderBy("ord").select("value", "ord").as[(String, Long)].collect().toSeq
     assert(got == Seq(("y", 3L), ("x", 5L), ("x", 6L)))
+    // the LREM persists as a value-addressed marker at its ord
+    val marker = folded.where($"marker")
+      .select("elem", "ord").as[(String, Long)].collect().toSeq
+    assert(marker == Seq(("x", 4L)))
   }
 
   test("update-retraction pair (LREM old + RPUSH new) replaces in place") {
@@ -119,9 +131,35 @@ class SinkOpStateSpec extends SparkSpec {
       op("RPUSH", "l:u", 16, value = "old"),
       op("LREM", "l:u", 32, value = "old"),   // the reference's update shape
       op("RPUSH", "l:u", 33, value = "new"))  // (redis.go:239-247)
-    val got = SinkOpState.fold(toDf(ops))
+    val got = SinkOpState.fold(toDf(ops)).where(!$"marker")
       .select("value", "ord").as[(String, Long)].collect().toSeq
     assert(got == Seq(("new", 33L)))
+  }
+
+  test("markers fence redelivered older ops across batches (at-least-once " +
+    "upstream): a replayed pre-removal op cannot resurrect state") {
+    val t = SinkOpState.createOrLoad(spark,
+      tmpDir("sinkop-replay").resolve("state").toString, numBuckets = 2)
+    SinkOpState.applyBatch(t, toDf(Seq(
+      op("SET", "s:a", 16, value = "v"),
+      op("RPUSH", "l:a", 17, value = "x"))), 0)
+    SinkOpState.applyBatch(t, toDf(Seq(
+      op("DEL", "s:a", 32),
+      op("LREM", "l:a", 33, value = "x"))), 1)
+    // batch 3 redelivers ops OLDER than the applied removals (a new epoch,
+    // so the epoch fence does not catch it — the markers must)
+    SinkOpState.applyBatch(t, toDf(Seq(
+      op("SET", "s:a", 16, value = "v"),
+      op("RPUSH", "l:a", 17, value = "x"))), 2)
+    assert(SinkOpState.liveState(t).count() == 0,
+      s"redelivered ops resurrected state: ${rows(t.snapshot())}")
+    // fresher ops still win over the markers
+    SinkOpState.applyBatch(t, toDf(Seq(
+      op("SET", "s:a", 48, value = "w"),
+      op("RPUSH", "l:a", 49, value = "x"))), 3)
+    val live = SinkOpState.liveState(t)
+      .select("structure", "value").as[(String, String)].collect().toSet
+    assert(live == Set(("string", "w"), ("list", "x")))
   }
 
   test("incremental applyBatch == one-shot fold (associativity), unchanged " +
@@ -140,7 +178,7 @@ class SinkOpStateSpec extends SparkSpec {
     assert(SinkOpState.applyBatch(t, toDf(chunks.head), 0).skipped)
     assert(rows(t.snapshot()) == before)
     // next epoch with ONLY no-op changes (re-SET same values): no data churn
-    val resets = before.toSeq.filter(_._2 == "string").map { r =>
+    val resets = before.toSeq.filter(r => r._2 == "string" && !r._10).map { r =>
       op("SET", r._3, r._9, value = r._7) }
     if (resets.nonEmpty) {
       val filesBefore = t.refresh().files.map(_.rows).sum
