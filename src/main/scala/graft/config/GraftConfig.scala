@@ -101,13 +101,19 @@ final case class GraftConfig(
     // count.
     feedFoldEvery: Long = 0L,
     feedRetainEpochs: Int = 8,
-    // wire format of changelog_dir: "graft" (the engine's parquet wire
-    // schema) or "debezium" — JSON-lines files of standard Debezium/Maxwell
-    // envelopes (op c/u/d/r, before/after, source{file,pos,lsn,ts_ms}),
-    // bare or Kafka-Connect `{"schema":…,"payload":…}`-wrapped, decoded by
-    // ChangelogCodec.decodeDebezium. Debezium envelopes carry no schema_id:
-    // events decode against (and lake tables evolve to) the NEWEST registry
-    // schema — the registry is the declared DDL timeline.
+    // wire format of changelog_dir:
+    //  - "graft": the engine's parquet wire schema;
+    //  - "debezium": JSON-lines files of standard Debezium/Maxwell
+    //    envelopes (op c/u/d/r, before/after, source{file,pos,lsn,ts_ms}),
+    //    bare or Kafka-Connect `{"schema":…,"payload":…}`-wrapped, decoded
+    //    by ChangelogCodec.decodeDebezium. Debezium envelopes carry no
+    //    schema_id: events decode against (and lake tables evolve to) the
+    //    NEWEST registry schema — the registry is the declared DDL timeline;
+    //  - "table": changelog_dir IS another graft lake table — its commit
+    //    tail (spark.readStream.format("graft")) feeds this pipeline, so
+    //    derived tables chain CDC-style (silver → gold) without an
+    //    intermediate feed. Upserts arrive as inserts; per-change `_pos`
+    //    carries through for LWW.
     wireFormat: String = "graft",
     routes: Seq[RouteConf] = Nil,
     // optional schema registry: schema_id → row schema (DDL string in YAML).
@@ -145,7 +151,7 @@ object GraftConfig {
       feedRetainEpochs = retain,
       wireFormat = {
         val wf = str(root, "wire_format", default = "graft")
-        require(Set("graft", "debezium")(wf), s"unknown wire_format: $wf")
+        require(Set("graft", "debezium", "table")(wf), s"unknown wire_format: $wf")
         wf
       },
       routes = routes,

@@ -203,6 +203,32 @@ object SinkOpState {
         .as("value"),
       col("ord"))
 
+  /** Drop marker rows with `ord` below a replay-safe horizon — the
+    * SinkOpState analog of the merge path's tombstone GC
+    * ([[MergeInto.maybeCompactAsync]]'s watermark): once the upstream can no
+    * longer redeliver ops older than `belowOrd`, the markers fencing them
+    * are dead weight on a delete-heavy stream. One fenced merge of delete
+    * rows; an op older than the horizon arriving AFTER the GC is an upstream
+    * contract violation (same as the tombstone contract).
+    */
+  def gcMarkers(table: LakeTable, belowOrd: Long, epoch: Long,
+      pipelineId: String = "", allowTakeover: Boolean = false): MergeResult = {
+    val doomed = table.snapshot()
+      .where(col("marker") && col("ord") < belowOrd)
+      .select(KeyCols.map(col): _*)
+      .withColumn("_op", lit(OpDelete))
+      .withColumn("_pos", lit(epoch))
+      .withColumn("_event_ts", lit(null).cast("timestamp"))
+      .withColumn("value", lit(null).cast("string"))
+      .withColumn("score", lit(null).cast("double"))
+      .withColumn("ord", lit(null).cast("long"))
+      .withColumn("marker", lit(null).cast("boolean"))
+      .select((Seq("_op", "_pos", "_event_ts") ++
+        StateSchema.fieldNames.toSeq).map(col): _*)
+    MergeInto.merge(table, doomed, epoch,
+      pipelineId = pipelineId, allowTakeover = allowTakeover)
+  }
+
   /** Apply one micro-batch of ops (target, action, key, field, score, value,
     * ord — ord monotone across batches) to the state table, exactly-once via
     * the engine's (pipelineId, epoch) fence. foreachBatch-ready.

@@ -120,6 +120,23 @@ object ConfigPipeline {
         // tables to) the newest registry schema — see GraftConfig.wireFormat
         ChangelogCodec.decodeDebezium(wire, newest, withBefore = needBefore)
           .withColumn("_schema_id", lit(newestSid))
+      case "table" =>
+        // upstream-table commit tail: rows are already decoded — shape them
+        // into the merge-input layout (upsert→insert; no before images on a
+        // table tail), casting by name to the registry's newest schema
+        val metas = Seq(
+          when(col("_op") === "delete", Types.OpDelete)
+            .otherwise(Types.OpInsert).as("_op"),
+          col("_pos"),
+          lit(null).cast("timestamp").as("_event_ts"),
+          lit(newestSid).as("_schema_id")) ++
+          (if (needBefore)
+            Seq(lit(null).cast(org.apache.spark.sql.types.StructType(
+              newest.fields)).as(ChangelogCodec.BeforeCol))
+          else Nil)
+        wire.select(metas ++ newest.fields.toSeq.map(f =>
+          (if (wire.columns.contains(f.name)) col(f.name)
+           else lit(null)).cast(f.dataType).as(f.name)): _*)
       case _ =>
         if (needBefore) ChangelogCodec.decodeWithBefore(wire, newest)
         else ChangelogCodec.decode(wire, newest)
@@ -428,16 +445,24 @@ object ConfigPipeline {
     val pipelineId = CdcPipeline.resolvePipelineId(c.checkpointDir)
     // default retry knobs; only the retry fields of this config are used
     val retryCfg = CdcPipeline.Config(c.changelogDir, c.checkpointDir)
-    val wire =
-      if (c.wireFormat == "debezium")
+    val wire = c.wireFormat match {
+      case "debezium" =>
         // a Debezium topic dump: JSON-lines files, one envelope per line
         spark.readStream
           .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
           .text(c.changelogDir)
-      else spark.readStream
+      case "table" =>
+        // tail another lake table's commits (pipeline chaining), from the
+        // table's full retained history so a fresh downstream starts
+        // complete (its own checkpoint dedups across restarts; history
+        // beyond the upstream's vacuum retention needs a Bootstrap first)
+        spark.readStream.format("graft")
+          .option("startingVersion", "1").load(c.changelogDir)
+      case _ => spark.readStream
         .schema(Types.changeEventWireSchema)
         .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
         .parquet(c.changelogDir)
+    }
     val writer = wire.writeStream
       .option("checkpointLocation", c.checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>

@@ -420,6 +420,79 @@ class ConfigSpec extends SparkSpec {
       yaml.replace("wire_format: debezium", "wire_format: avro")))
   }
 
+  test("wire_format: table — a derived pipeline tails another lake table " +
+    "(CDC chaining), incl. deletes and incremental catch-up") {
+    val work = tmpDir("cfg-chain")
+    val log = s"$work/log"
+    ChangelogGenerator.write(spark,
+      ChangelogSpec(nEvents = 8000, nConversations = 150, chunkSize = 2000), log)
+    val yaml1 =
+      s"""changelog_dir: $log
+         |checkpoint_dir: $work/cp1
+         |max_files_per_trigger: 4
+         |routes:
+         |  - name: silver
+         |    target: lake
+         |    table_dir: $work/t1
+         |    key_columns: [conv_id, turn_idx]
+         |    num_buckets: 4
+         |""".stripMargin
+    ConfigPipeline.runToCompletion(spark, GraftConfig.parse(yaml1))
+    val t1 = LakeTable.load(spark, s"$work/t1")
+    // derived pipeline: tail t1's commits, project + compute into t2
+    val yaml2 =
+      s"""changelog_dir: $work/t1
+         |wire_format: table
+         |checkpoint_dir: $work/cp2
+         |routes:
+         |  - name: gold
+         |    target: lake
+         |    table_dir: $work/t2
+         |    key_columns: [conv_id, turn_idx]
+         |    num_buckets: 4
+         |    rule:
+         |      exclude_columns: [lang]
+         |      computed: {text_len: "length(text)"}
+         |""".stripMargin
+    val c2 = GraftConfig.parse(yaml2)
+    ConfigPipeline.runToCompletion(spark, c2)
+    val t2 = LakeTable.load(spark, s"$work/t2")
+    def expected = t1.snapshot()
+      .drop("lang").withColumn("text_len", length($"text"))
+      .collect().map(_.toSeq).toSet
+    assert(t2.snapshot().collect().map(_.toSeq).toSet == expected)
+    assert(t2.snapshot().count() > 0)
+    // incremental: new commits upstream (incl. a delete) flow through on
+    // the next drain of the SAME checkpoint
+    import graft.merge.MergeInto
+    val victim = t1.snapshot().select("conv_id", "turn_idx")
+      .orderBy("conv_id", "turn_idx").head()
+    val extra = Seq(
+      ("insert", 1000000L, "conv_chain", 0L, "user", "hello", null, null, "en"),
+      ("delete", 1000001L, victim.getString(0), victim.getLong(1),
+        null, null, null, null, null))
+      .toDF("_op", "_pos", "conv_id", "turn_idx", "role", "text", "tool", "_ts", "lang")
+      .withColumn("tool", $"tool".cast("string"))
+      .withColumn("role", $"role".cast("string"))
+      .withColumn("text", $"text".cast("string"))
+      .withColumn("lang", $"lang".cast("string"))
+      .withColumn("ts", lit(null).cast("timestamp")).drop("_ts")
+      .withColumn("_event_ts", lit(null).cast("timestamp"))
+      .select("_op", "_pos", "_event_ts", "conv_id", "turn_idx", "role",
+        "text", "tool", "ts", "lang")
+    MergeInto.merge(t1, extra, epoch = 999999L,
+      pipelineId = "chain-test", allowTakeover = true)
+    t1.refresh()
+    ConfigPipeline.runToCompletion(spark, c2)
+    t2.refresh()
+    assert(t2.snapshot().collect().map(_.toSeq).toSet == expected,
+      "derived table did not catch up with upstream commits")
+    assert(t2.snapshot().where($"conv_id" === "conv_chain").count() == 1)
+    assert(t2.snapshot().where($"conv_id" === victim.getString(0) &&
+      $"turn_idx" === victim.getLong(1)).count() == 0,
+      "upstream delete did not propagate")
+  }
+
   test("ops route with state_dir: the emitted op algebra folds into an " +
     "exactly-once keyed state table (incl. list retraction)") {
     import graft.merge.SinkOpState

@@ -208,6 +208,25 @@ class SinkOpStateSpec extends SparkSpec {
     }
   }
 
+  test("gcMarkers drops only below-horizon markers; live rows and fresher " +
+    "markers survive") {
+    val t = SinkOpState.createOrLoad(spark,
+      tmpDir("sinkop-gc").resolve("state").toString, numBuckets = 2)
+    SinkOpState.applyBatch(t, toDf(Seq(
+      op("SET", "s:a", 16, value = "v"), op("DEL", "s:a", 32),  // marker @32
+      op("RPUSH", "l:a", 33, value = "x"), op("LREM", "l:a", 48, value = "x"),
+      op("RPUSH", "l:a", 64, value = "x"),                      // marker @48
+      op("SET", "s:b", 80, value = "w"), op("DEL", "s:b", 96))), 0) // @96
+    assert(t.snapshot().where($"marker").count() == 3)
+    val r = SinkOpState.gcMarkers(t, belowOrd = 49, epoch = 1)
+    assert(!r.skipped)
+    val left = rows(t.snapshot())
+    assert(left.filter(_._10).map(_._9) == Set(96L),
+      s"want only the @96 marker left, got $left")
+    assert(left.filter(!_._10).map(r => (r._2, r._7)) ==
+      Set(("list", "x")), "live rows must survive marker GC")
+  }
+
   test("unknown action fails loudly instead of corrupting state") {
     intercept[Exception] {
       SinkOpState.fold(toDf(Seq(op("SEND", "topic", 1, value = "m")))).count()
