@@ -732,8 +732,8 @@ object QueryCatalog {
       k = 32, bands = 16, threshold = 0.6)
       .orderBy("idA", "idB")
 
-  private def jaccardAllPairsSql(bound: String): String =
-    s"""WITH toks AS (
+  private def jaccardPairCtes(bound: String): String =
+    s"""toks AS (
        |  SELECT doc_id,
        |    string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
        |  FROM documents $bound
@@ -748,11 +748,50 @@ object QueryCatalog {
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |      greatest(CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 1.0) AS jaccard
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+
+  private def jaccardAllPairsSql(bound: String): String =
+    s"""WITH ${jaccardPairCtes(bound)}
        |SELECT idA, idB, jaccard FROM pairs WHERE jaccard >= 0.6
        |ORDER BY idA, idB""".stripMargin
 
   val docMinhashPairsSql: String = jaccardAllPairsSql("")
+
+  /** Near-dup CLUSTER RESOLUTION (q41): the step pair queries (q21/q22/q26)
+    * stop short of — transitive closure of the duplicate relation, one
+    * keeper per cluster. Pairs alone under-delete (A~B, B~C without A~C must
+    * still keep ONE doc); [[graft.functions.Components.connectedComponents]]
+    * labels every doc with the min reachable doc_id in a handful of
+    * join+min-agg rounds (dup clusters are diameter-1..3 blobs).
+    * Oracle-checkable against DuckDB because the Spark pairs equal exact
+    * all-pairs Jaccard on this corpus (q21's argument) and the closure is a
+    * recursive CTE over the same pair set.
+    */
+  def docDedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Components.dedupClusters(
+      read(s, dir, "documents"), "text", "doc_id",
+      k = 32, bands = 16, threshold = 0.6)
+      .orderBy("doc_id")
+
+  val docDedupClustersSql: String =
+    s"""WITH RECURSIVE ${jaccardPairCtes("")},
+       |dup AS (SELECT idA, idB FROM pairs WHERE jaccard >= 0.6),
+       |sym AS (
+       |  SELECT idA AS s, idB AS d FROM dup
+       |  UNION ALL
+       |  SELECT idB AS s, idA AS d FROM dup
+       |),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.id, sym.d FROM reach JOIN sym ON sym.s = reach.r
+       |),
+       |comp AS (SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id),
+       |sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY canonical_id)
+       |SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       |  c.doc_id = c.canonical_id AS is_canonical
+       |FROM comp c JOIN sizes s USING (canonical_id)
+       |ORDER BY c.doc_id""".stripMargin
 
   /** SimHash near-dups at the classic Hamming-≤3 radius: 4 disjoint 16-bit
     * bands (65k buckets each) — the banding that still has headroom at

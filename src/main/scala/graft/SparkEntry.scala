@@ -71,7 +71,9 @@ object SparkEntry {
     // S1/S2 completion: standard Debezium/Maxwell CDC-envelope ingestion
     "q39_debezium_decode" -> (cdcDebeziumDecode(_, _)),
     // K1-K5 completion: structure-level op APPLICATION (list/set retraction)
-    "q40_sinkop_apply" -> (cdcSinkOpApply(_, _))
+    "q40_sinkop_apply" -> (cdcSinkOpApply(_, _)),
+    // dedup completion: pair relation → connected components → keep-set
+    "q41_dedup_clusters" -> (docDedupClusters(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,6 +114,7 @@ object SparkEntry {
     "q37_pg_decode" -> cdcPgDecodeSql,
     "q38_corpus_stats" -> docCorpusStatsSql,
     "q39_debezium_decode" -> cdcDebeziumDecodeSql,
-    "q40_sinkop_apply" -> cdcSinkOpApplySql
+    "q40_sinkop_apply" -> cdcSinkOpApplySql,
+    "q41_dedup_clusters" -> docDedupClustersSql
   )
 }
