@@ -793,6 +793,38 @@ object QueryCatalog {
        |FROM comp c JOIN sizes s USING (canonical_id)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Benchmark decontamination (q42): docs with doc_id ≡ 7 (mod 10) play
+    * the benchmark/eval set; every other doc is scored by how much of its
+    * distinct 3-gram set the benchmark contains. Oracle recomputes the
+    * same per-doc distinct-gram sets as STRINGS (the q23 equivalence:
+    * hashed-set counts equal string-set counts absent 64-bit collisions).
+    */
+  def docDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = read(s, dir, "documents")
+    Dedup.decontaminate(
+      d.where(pmod(col("doc_id"), lit(10)) =!= 7),
+      d.where(pmod(col("doc_id"), lit(10)) === 7),
+      "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** `pairs` from the shared CTE block is unreferenced here — DuckDB prunes
+    * it, so the O(n²) join never runs.
+    */
+  val docDecontaminateSql: String =
+    s"""WITH ${jaccardPairCtes("")},
+       |bgrams AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 7),
+       |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 7),
+       |shared AS (
+       |  SELECT tg.doc_id, count(*) AS n_shared
+       |  FROM (SELECT doc_id, unnest(sh) AS g FROM tr) tg JOIN bgrams USING (g)
+       |  GROUP BY tg.doc_id)
+       |SELECT tr.doc_id, len(tr.sh) AS n_grams,
+       |  coalesce(s.n_shared, 0) AS n_shared,
+       |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) / len(tr.sh), 6) AS overlap,
+       |  CAST(coalesce(s.n_shared, 0) AS DOUBLE) >= 0.5 * len(tr.sh) AS contaminated
+       |FROM tr LEFT JOIN shared s USING (doc_id) ORDER BY tr.doc_id""".stripMargin
+
   /** SimHash near-dups at the classic Hamming-≤3 radius: 4 disjoint 16-bit
     * bands (65k buckets each) — the banding that still has headroom at
     * 10^10 docs. Wider radii are supported (bands derive from maxHamming)
@@ -1103,6 +1135,14 @@ object QueryCatalog {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF ANN with a FULL DuckDB oracle: `deterministic = true` switches the
+    * index to (a) smallest-id centroid seeding and (b) an id-sorted
+    * sequential-fold Lloyd mean, so every float op — seeding, both Lloyd
+    * iterations, cell assignment, final cosine ranking — happens in one
+    * fixed IEEE-754 order that [[embAnnIvfSql]] replays exactly (`list(x
+    * ORDER BY id)` + `list_reduce`, the q28 technique extended from a static
+    * plane grid to the full training loop).
+    */
   def embAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
     val queries = e.where(col("vec_id") < 10)
@@ -1111,8 +1151,79 @@ object QueryCatalog {
     // near-uniform corpus = IVF's worst case: Lloyd-refined centroids +
     // 2× multi-assignment reach recall@5 ≈ 0.94 probing 3/16 cells
     Similarity.ivfTopK(queries, corpus, k = 5, nCells = 16, nProbe = 3,
-      trainIters = 2, corpusAssign = 2)
+      trainIters = 2, corpusAssign = 2, deterministic = true)
       .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB replay of the deterministic IVF index (nCells=16, 2 Lloyd
+    * iterations unrolled, corpusAssign=2, nProbe=3, k=5): each `aN`/`mN`/
+    * `centsN` block is one training iteration — assignment by exact cosine
+    * argmax (ties to the lower cell, as Spark's row_number), then the
+    * per-(cell, dim) mean as a left fold over id-sorted values.
+    */
+  val embAnnIvfSql: String = {
+    // cosine(float[] a, double[] c) and cosine(float[] a, float[] b) in the
+    // exact fold order of graft.functions.CosineSim
+    def lr(items: String): String =
+      s"list_reduce($items, (x, y) -> x + y)"
+    def dotFS(a: String, c: String): String =
+      lr(s"list_transform(range(1, (SELECT dim FROM dims) + 1), i -> CAST($a[i] AS DOUBLE) * $c[i])")
+    def dotFF(a: String, b: String): String =
+      lr(s"list_transform(range(1, (SELECT dim FROM dims) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    def cosFS(a: String, c: String): String =
+      s"""${dotFS(a, c)}
+         |      / greatest(sqrt(${dotFF(a, a)}) * sqrt(${lr(s"list_transform($c, x -> x * x)")}), 1e-12)"""
+        .stripMargin
+    def cosFF(a: String, b: String): String =
+      s"""${dotFF(a, b)}
+         |      / greatest(sqrt(${dotFF(a, a)}) * sqrt(${dotFF(b, b)}), 1e-12)""".stripMargin
+    // one Lloyd step: assign to argmax cell of `prev`, mean in id order
+    def step(n: Int, prev: String): String =
+      s"""a$n AS (
+         |  SELECT id, cell FROM (
+         |    SELECT e.vec_id AS id, s.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosFS("e.embedding", "s.cvec")} DESC, s.cell) AS r
+         |    FROM embeddings e, $prev s) WHERE r = 1),
+         |m$n AS (
+         |  SELECT a.cell, g.i,
+         |    ${lr("list(CAST(e.embedding[g.i] AS DOUBLE) ORDER BY e.vec_id)")}
+         |      / count(*) AS m
+         |  FROM a$n a JOIN embeddings e ON e.vec_id = a.id, grid g
+         |  GROUP BY a.cell, g.i),
+         |cents$n AS (SELECT cell, list(m ORDER BY i) AS cvec FROM m$n GROUP BY cell)"""
+        .stripMargin
+    def assign(name: String, cents: String, bound: String, topN: Int): String =
+      s"""$name AS (
+         |  SELECT id, cell FROM (
+         |    SELECT e.vec_id AS id, s.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosFS("e.embedding", "s.cvec")} DESC, s.cell) AS r
+         |    FROM embeddings e, $cents s $bound) WHERE r <= $topN)""".stripMargin
+    s"""WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+       |grid AS (SELECT unnest(range(1, (SELECT dim FROM dims) + 1)) AS i),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |${step(1, "seeds")},
+       |${step(2, "cents1")},
+       |${assign("ca", "cents2", "", 2)},
+       |${assign("qa", "cents2", "WHERE e.vec_id < 10", 3)},
+       |cand AS (
+       |  SELECT DISTINCT q.id AS q_id, c.id AS c_id
+       |  FROM qa q JOIN ca c USING (cell) WHERE q.id <> c.id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    ${cosFF("q.embedding", "c.embedding")} AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.q_id
+       |  JOIN embeddings c ON c.vec_id = cand.c_id)
+       |SELECT q_id, c_id, cosine, rank FROM (
+       |  SELECT q_id, c_id, round(cos, 6) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   /** S6 wildcard table expansion: regex against the table directory (the

@@ -73,7 +73,9 @@ object SparkEntry {
     // K1-K5 completion: structure-level op APPLICATION (list/set retraction)
     "q40_sinkop_apply" -> (cdcSinkOpApply(_, _)),
     // dedup completion: pair relation → connected components → keep-set
-    "q41_dedup_clusters" -> (docDedupClusters(_, _))
+    "q41_dedup_clusters" -> (docDedupClusters(_, _)),
+    // eval-set leakage filter: n-gram overlap vs a benchmark corpus
+    "q42_decontaminate" -> (docDecontaminate(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,6 +107,7 @@ object SparkEntry {
     "q26_emb_neardup" -> embNearDupPairsSql,
     "q27_emb_ann_topk" -> embAnnTopKSql,
     "q28_emb_ann_lsh" -> embAnnLshSql,
+    "q29_emb_ann_ivf" -> embAnnIvfSql,
     "q30_mm_features" -> mmFeaturesSql,
     "q32_mm_frames" -> mmFrameSampleSql,
     "q33_wildcard_tables" -> wildcardTablesSql,
@@ -115,6 +118,7 @@ object SparkEntry {
     "q38_corpus_stats" -> docCorpusStatsSql,
     "q39_debezium_decode" -> cdcDebeziumDecodeSql,
     "q40_sinkop_apply" -> cdcSinkOpApplySql,
-    "q41_dedup_clusters" -> docDedupClustersSql
+    "q41_dedup_clusters" -> docDedupClustersSql,
+    "q42_decontaminate" -> docDecontaminateSql
   )
 }

@@ -192,6 +192,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark DECONTAMINATION: per training doc, how much of its distinct
+    * n-gram set appears anywhere in a benchmark/eval corpus — the test-set
+    * leakage filter every pre-training pipeline runs (flag-and-drop docs
+    * that would let the model memorize eval answers). Output per train doc:
+    * (id, n_grams, n_shared, overlap, contaminated).
+    *
+    * Scale shape: the benchmark is tiny next to 100 TB of training data, so
+    * its distinct-gram set is computed once and BROADCAST — the training
+    * side streams through a broadcast-hash semi-join keyed on 8-byte gram
+    * hashes (never strings, never doc bodies) with a map-side count; no
+    * training-side shuffle at all until the final per-doc aggregation of
+    * (id, count) pairs. Gram hashing reuses the one-pass
+    * [[MinHash64.shingleHashes]] kernel (per-doc distinct, sorted).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, flagRatio: Double = 0.5): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      MinHash64.shingleHashes(tokens(normalized(col(textCol))), shingleN).as("sh"))
+    val t = sh(train)
+    val benchGrams = sh(bench).select(explode(col("sh")).as("h")).distinct()
+    val shared = t.select(col("id"), explode(col("sh")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_shared")) // sh is pre-deduped
+    t.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated",
+        col("n_shared").cast("double") >= lit(flagRatio) * col("n_grams"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_shared"),
+        col("overlap"), col("contaminated"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs. O(n²) candidate space — correct
     * baseline for tests/small corpora; at scale use the LSH variants above.
     */

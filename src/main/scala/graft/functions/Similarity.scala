@@ -136,6 +136,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2,
       corpusAssign: Int = 1, trainFraction: Double = 1.0,
+      deterministic: Boolean = false,
       qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     // Lloyd trains on a deterministic hash-sample of the corpus:
@@ -146,13 +147,27 @@ object Similarity {
       if (trainFraction >= 1.0) corpus
       else corpus.where(
         pmod(xxhash64(col(cId)), lit(1000000L)) < lit((trainFraction * 1000000L).toLong))
-    // deterministic centroid seed: smallest ids, one per hash stripe
-    var cents = trainSet
-      .withColumn("_stripe", pmod(xxhash64(col(cId)), lit(nCells)))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_stripe")).orderBy(col(cId))))
-      .where(col("_rn") === 1)
-      .select(col("_stripe").as("cell"), col(cVec).as("cent_vec"))
+    // Centroid seeding. Default: smallest id per xxhash64 stripe. With
+    // `deterministic`, the nCells SMALLEST ids (cell = rank): equally
+    // arbitrary as a seed (Lloyd refinement does the real work) but — unlike
+    // xxhash64 — reproducible in an external SQL engine, which is what lets
+    // the whole index have a DuckDB oracle (q29). Same knob switches the
+    // Lloyd mean to an id-SORTED sequential fold: `avg` sums in partition
+    // order, so its low-order float bits vary run to run; the sorted fold
+    // fixes one IEEE-754 addition order an oracle can replay. Cost: the
+    // fold materializes each (cell, dim) value list — fine for a coarse
+    // quantizer trained on a (sampled) set, not for general aggregation.
+    var cents =
+      if (deterministic)
+        trainSet.orderBy(col(cId)).limit(nCells)
+          .select((row_number().over(Window.orderBy(col(cId))) - 1).as("cell"),
+            col(cVec).as("cent_vec"))
+      else trainSet
+        .withColumn("_stripe", pmod(xxhash64(col(cId)), lit(nCells)))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_stripe")).orderBy(col(cId))))
+        .where(col("_rn") === 1)
+        .select(col("_stripe").as("cell"), col(cVec).as("cent_vec"))
     // Lloyd refinement: nearest-cell assign, then element-wise mean per cell
     // (posexplode → avg per (cell, dim) → re-assemble ordered array)
     (0 until trainIters).foreach { _ =>
@@ -161,10 +176,19 @@ object Similarity {
         .withColumn("_r", row_number().over(
           Window.partitionBy(col(cId)).orderBy(col("_d").desc, col("cell"))))
         .where(col("_r") === 1)
-        .select(col("cell"), col(cVec))
-      cents = assigned
-        .select(col("cell"), posexplode(col(cVec)).as(Seq("_i", "_x")))
-        .groupBy("cell", "_i").agg(avg("_x").as("_x"))
+        .select(col("cell"), col(cId), col(cVec))
+      val perDim = assigned
+        .select(col("cell"), col(cId), posexplode(col(cVec)).as(Seq("_i", "_x")))
+      val dimMean =
+        if (deterministic)
+          perDim.groupBy("cell", "_i").agg(
+            (aggregate(
+              transform(
+                array_sort(collect_list(struct(col(cId).as("k"), col("_x").as("v")))),
+                s => s.getField("v").cast("double")),
+              lit(0.0d), (acc, v) => acc + v) / count(lit(1))).as("_x"))
+        else perDim.groupBy("cell", "_i").agg(avg("_x").as("_x"))
+      cents = dimMean
         .groupBy("cell").agg(
           transform(array_sort(collect_list(struct(col("_i"), col("_x")))),
             s => s.getField("_x")).as("cent_vec"))

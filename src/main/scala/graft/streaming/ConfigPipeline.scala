@@ -470,8 +470,15 @@ object ConfigPipeline {
         // changefeed epochs overwrite), as in the single-table pipeline
         CdcPipeline.withBatchRetries(retryCfg, batchId)(
           applyBatch(routes, df, batchId, c, pipelineId))
-        routes.foreach(b => if (b.table != null)
-          MergeInto.maybeCompactAsync(b.table, c.autoCompactRatio, c.autoCompactMinRows))
+        routes.foreach { b =>
+          if (b.table != null)
+            MergeInto.maybeCompactAsync(b.table, c.autoCompactRatio, c.autoCompactMinRows)
+          // state tables are lake tables too: same file-compaction economics
+          // under a churn-heavy op stream (their op-algebra MARKER rows are
+          // app-level and GC separately via SinkOpState.gcMarkers)
+          if (b.stateTable != null)
+            MergeInto.maybeCompactAsync(b.stateTable, c.autoCompactRatio, c.autoCompactMinRows)
+        }
         // feed-side maintenance on its own cadence (fold only ever touches
         // epochs below the newest `retain`, so it cannot race the writer)
         if (c.feedFoldEvery > 0 && batchId > 0 && batchId % c.feedFoldEvery == 0)

@@ -186,4 +186,26 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("decontamination: full copy flagged, partial overlap scored, " +
+    "unrelated doc clean") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // t1 = verbatim benchmark copy; t2 = shares the grams spanning
+    // "gamma delta epsilon" only; t3 = disjoint
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two gamma delta epsilon nine ten"),
+      (3L, "totally unrelated words with no overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // 3-gram counts: t1 has 4 grams, all shared; t2 has 5, exactly one
+    // ("gamma delta epsilon") shared; t3 has 6, none shared
+    assert(out == Map(
+      1L -> (4L, 4L, true),
+      2L -> (5L, 1L, false),
+      3L -> (6L, 0L, false)))
+  }
 }
