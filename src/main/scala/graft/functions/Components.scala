@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * long chains, so propagation converges in a handful of rounds where the
   * general-graph O(log²) star-contraction algorithms (Kiveris et al.,
   * "Connected Components in MapReduce", SOCC'14) would pay their constant
-  * factors for nothing. Per round the join shuffles |E| + |V| rows of two
-  * columns each; `localCheckpoint` truncates the plan so round N's lineage
+  * factors for nothing. The loop runs over edge-incident vertices only, so
+  * per round the join shuffles O(|E|) rows of two columns each — the
+  * singleton majority of a 10^10-doc corpus never enters the iteration;
+  * `localCheckpoint` truncates the plan so round N's lineage
   * does not replay rounds 1..N-1 (the classic iterative-Spark blowup).
   * A `maxIters` guard fails loudly on pathological chain graphs rather
   * than looping; raise it (cost: more rounds) or pre-contract with the
@@ -43,7 +45,12 @@ object Components {
       .where(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint() // compute pair candidates once, not once per round
-    var labels = vertices.select(col("id"), col("id").as("comp"))
+    // Iterate ONLY over edge-incident vertices: the duplicate graph is
+    // sparse (|incident| ≈ 2·|pairs| ≪ |docs|), so every round costs
+    // O(|E|), not O(|V|) — at 10^10 docs the loop never touches the
+    // overwhelming singleton majority, which joins back in one final pass.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
       .localCheckpoint()
     var round = 0
     var changed = 1L
@@ -61,7 +68,9 @@ object Components {
         .where(col("comp") =!= col("prev")).count()
       labels = next
     }
-    labels
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** End-to-end dedup cluster resolution over a document table: MinHash-LSH
