@@ -115,6 +115,12 @@ final case class GraftConfig(
     //    intermediate feed. Upserts arrive as inserts; per-change `_pos`
     //    carries through for LWW.
     wireFormat: String = "graft",
+    // wire_format: table only — upstream version the tail starts from on a
+    // FRESH checkpoint (1 = replay the table's full retained history, the
+    // default so a new derived table starts complete; 0 = tail from the
+    // current version, for downstreams that only want new changes). Ignored
+    // once a checkpoint exists.
+    tableStartVersion: Int = 1,
     routes: Seq[RouteConf] = Nil,
     // optional schema registry: schema_id → row schema (DDL string in YAML).
     // Empty = the built-in transcript registry. The reference refreshes rule
@@ -154,6 +160,7 @@ object GraftConfig {
         require(Set("graft", "debezium", "table")(wf), s"unknown wire_format: $wf")
         wf
       },
+      tableStartVersion = int(root, "table_start_version", 1),
       routes = routes,
       schemas = asMap(root.getOrElse("schemas", null)).map { case (sid, ddl) =>
         sid.trim.toInt ->

@@ -452,12 +452,15 @@ object ConfigPipeline {
           .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
           .text(c.changelogDir)
       case "table" =>
-        // tail another lake table's commits (pipeline chaining), from the
-        // table's full retained history so a fresh downstream starts
-        // complete (its own checkpoint dedups across restarts; history
-        // beyond the upstream's vacuum retention needs a Bootstrap first)
-        spark.readStream.format("graft")
-          .option("startingVersion", "1").load(c.changelogDir)
+        // tail another lake table's commits (pipeline chaining). Default
+        // start = version 1: a fresh downstream replays the full retained
+        // history and starts complete (its own checkpoint dedups across
+        // restarts; history beyond the upstream's vacuum retention needs a
+        // Bootstrap first). table_start_version: 0 tails from NOW instead.
+        val r = spark.readStream.format("graft")
+        (if (c.tableStartVersion > 0)
+          r.option("startingVersion", c.tableStartVersion.toString)
+        else r).load(c.changelogDir)
       case _ => spark.readStream
         .schema(Types.changeEventWireSchema)
         .option("maxFilesPerTrigger", c.maxFilesPerTrigger)

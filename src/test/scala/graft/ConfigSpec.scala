@@ -420,6 +420,23 @@ class ConfigSpec extends SparkSpec {
       yaml.replace("wire_format: debezium", "wire_format: avro")))
   }
 
+  test("table_start_version parses; defaults to full-history replay") {
+    val y =
+      """changelog_dir: /x
+        |checkpoint_dir: /y
+        |wire_format: table
+        |table_start_version: 0
+        |routes:
+        |  - name: r
+        |    target: lake
+        |    table_dir: /t
+        |    key_columns: [k]
+        |""".stripMargin
+    assert(GraftConfig.parse(y).tableStartVersion == 0)
+    assert(GraftConfig.parse(y.replace("table_start_version: 0\n", ""))
+      .tableStartVersion == 1)
+  }
+
   test("wire_format: table — a derived pipeline tails another lake table " +
     "(CDC chaining), incl. deletes and incremental catch-up") {
     val work = tmpDir("cfg-chain")

@@ -261,4 +261,17 @@ class PlanSpec extends SparkSpec {
       s"facade filter not pushed:\n$p")
     assert(inner.collect().map(_.getString(0)).toSeq == Seq("v1"))
   }
+
+  test("decontamination: benchmark gram set broadcasts; no sort-merge join " +
+    "or cartesian on the training side") {
+    val df = QueryCatalog.docDecontaminate(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = finalPlan(df)
+    // the training side must stream through a broadcast-hash membership
+    // probe of the (small) benchmark gram set — a shuffle of the exploded
+    // training grams is the plan that dies at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gram membership degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontaminate:\n$p")
+  }
 }
