@@ -904,6 +904,36 @@ object QueryCatalog {
       |  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing (q43): concat-and-chunk the corpus token stream into
+    * fixed 2048-token training sequences via the two-pass distributed
+    * prefix sum in [[graft.functions.Packing]]. The oracle is the plain
+    * global window sum — equal by construction to the sharded two-pass
+    * form, which is the point: the 10^10-row-safe plan computes exactly
+    * the single-task quantity.
+    */
+  def docPackSequences(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Packing.packSequences(
+      read(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", seqTokens = 2048L, nShards = 32)
+      .orderBy("doc_id")
+
+  val docPackSequencesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens, tok_before,
+      |  tok_before // 2048 AS seq_id, tok_before % 2048 AS seq_offset
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Corpus-level summary a training-data pipeline reports before a run:
     * volume, exact token-count distribution, and the unique-content ratio
     * (distinct q19 fingerprints). Scale shape: ONE aggregation — map-side

@@ -75,7 +75,9 @@ object SparkEntry {
     // dedup completion: pair relation → connected components → keep-set
     "q41_dedup_clusters" -> (docDedupClusters(_, _)),
     // eval-set leakage filter: n-gram overlap vs a benchmark corpus
-    "q42_decontaminate" -> (docDecontaminate(_, _))
+    "q42_decontaminate" -> (docDecontaminate(_, _)),
+    // concat-and-chunk sample packing via distributed prefix sum
+    "q43_pack_sequences" -> (docPackSequences(_, _))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,6 +121,7 @@ object SparkEntry {
     "q39_debezium_decode" -> cdcDebeziumDecodeSql,
     "q40_sinkop_apply" -> cdcSinkOpApplySql,
     "q41_dedup_clusters" -> docDedupClustersSql,
-    "q42_decontaminate" -> docDecontaminateSql
+    "q42_decontaminate" -> docDecontaminateSql,
+    "q43_pack_sequences" -> docPackSequencesSql
   )
 }
