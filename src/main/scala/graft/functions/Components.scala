@@ -60,12 +60,24 @@ object Components {
         s"connectedComponents did not converge in $maxIters rounds — " +
           "chained duplicate clusters deeper than the guard; raise maxIters")
       val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("_own"))
+      // Convergence detection rides INSIDE the round's one aggregation job:
+      // every id carries exactly one label row (msgs go only to edge-incident
+      // vertices, all of which are labeled), so tagging it `_own` recovers
+      // the previous label as a conditional max in the same groupBy — and an
+      // `observe` on the checkpoint materialization counts changed labels for
+      // free. The previous formulation paid a second join+shuffle+count JOB
+      // per round just to ask "did anything change" (2 jobs/round → 1).
+      val obs = new org.apache.spark.sql.Observation(s"cc-round-$round")
+      val next = labels.withColumn("_own", lit(true)).unionByName(msgs)
+        .groupBy("id").agg(
+          min("comp").as("comp"),
+          max(when(col("_own"), col("comp"))).as("_prev"))
+        .observe(obs,
+          sum(when(col("comp") =!= col("_prev"), 1L).otherwise(0L)).as("changed"))
+        .select("id", "comp")
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .where(col("comp") =!= col("prev")).count()
+      changed = obs.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
     }
     vertices.select(col("id"))

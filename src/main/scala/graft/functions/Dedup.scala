@@ -226,19 +226,39 @@ object Dedup {
         col("overlap"), col("contaminated"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs. O(n²) candidate space — correct
-    * baseline for tests/small corpora; at scale use the LSH variants above.
+  /** Exact n-gram Jaccard near-dup pairs (`threshold` must be > 0).
+    *
+    * Shape: NOT the n² cross join — pairs come from a gram-level equi
+    * self-join. Each doc's distinct hashed shingles (one-pass kernel;
+    * identical Jaccard values to string shingles — set cardinalities
+    * preserved, 64-bit collisions negligible) explode to (gram, id) rows;
+    * the self-join on the 8-byte gram counts |A∩B| per pair, and
+    * |A∪B| = |A|+|B|−|A∩B| from the per-doc sizes. Only pairs that SHARE a
+    * gram are materialized (a zero-overlap pair has jaccard 0 < threshold by
+    * definition), so cost is Σ_gram df(gram)² — the document-frequency skew
+    * profile — instead of n²·|shingles| array intersections. Values are
+    * bit-identical to the intersect/union formulation: the same two integer
+    * cardinalities divide in double.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    // hashed shingle sets: identical Jaccard values (set cardinalities are
-    // preserved; 64-bit collisions negligible), one-pass kernel per doc
+    require(threshold > 0.0,
+      s"threshold must be > 0 (zero-overlap pairs are never emitted): $threshold")
     val p = df.select(col(idCol).as("id"),
       MinHash64.shingleHashes(tokens(normalized(col(textCol))), shingleN).as("sh"))
-    val l = p.select(col("id").as("idA"), col("sh").as("shA"))
-    val r = p.select(col("id").as("idB"), col("sh").as("shB"))
-    l.crossJoin(r).where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
+    val sizes = p.select(col("id"), size(col("sh")).as("n"))
+    val grams = p.select(col("id"), explode(col("sh")).as("h"))
+    val inter = grams.select(col("h"), col("id").as("idA"))
+      .join(grams.select(col("h"), col("id").as("idB")), "h")
+      .where(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("id").as("idA"), col("n").as("_nA")), "idA")
+      .join(sizes.select(col("id").as("idB"), col("n").as("_nB")), "idB")
+      .select(col("idA"), col("idB"),
+        (col("_inter").cast("double") /
+          greatest((col("_nA") + col("_nB") - col("_inter")).cast("double"),
+            lit(1.0))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

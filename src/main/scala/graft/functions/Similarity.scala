@@ -89,12 +89,16 @@ object Similarity {
       cId: String = "c_id", cVec: String = "c_vec"): DataFrame = {
     require(probeHamming <= 1,
       s"probeHamming > 1 is not implemented (only 0 or 1-bit-flip probes); got $probeHamming")
-    val planesByTable = (0 until nTables).map(t => hyperplanes(dim, nBits, t))
+    // ONE scan per side, all tables in one native pass ([[LshBuckets]] —
+    // value-identical to the per-table lshBucket HOF chain, which cost
+    // nTables × nBits × dim interpreted lambda evaluations per row AND
+    // re-scanned the input once per table through the union). A null vector
+    // indexes nowhere (posexplode of null) instead of into bucket 0 — it
+    // could never score anyway (cosine(null, ·) is null).
     def bucketed(df: DataFrame, vecCol: String) =
-      (0 until nTables).map { t =>
-        df.select(col("*"), lit(t).as("tbl"),
-          lshBucket(col(vecCol), planesByTable(t)).as("bucket"))
-      }.reduce(_ unionAll _)
+      df.select(col("*"),
+        posexplode(LshBuckets(col(vecCol), dim, nBits, nTables))
+          .as(Seq("tbl", "bucket")))
     val cb = bucketed(corpus, cVec)
     val qb0 = bucketed(queries, qVec)
     val qb =
@@ -168,43 +172,55 @@ object Similarity {
           Window.partitionBy(col("_stripe")).orderBy(col(cId))))
         .where(col("_rn") === 1)
         .select(col("_stripe").as("cell"), col(cVec).as("cent_vec"))
-    // Lloyd refinement: nearest-cell assign, then element-wise mean per cell
-    // (posexplode → avg per (cell, dim) → re-assemble ordered array)
+    // Lloyd refinement: nearest-cell assign, then element-wise mean per cell.
+    // Assignment is ONE map-side-combined aggregation, not a window: the
+    // argmax cell under (cosine desc, cell asc) is `max_by` over the
+    // lexicographic (d, -cell) order — same winner as the previous
+    // row_number formulation (ties impossible: -cell is distinct), without
+    // the full 16×n-row shuffle+sort a window pays (the broadcast cross
+    // join leaves all of a vector's cell rows in one partition, so the
+    // partial agg collapses them to one row before the exchange).
     (0 until trainIters).foreach { _ =>
       val assigned = trainSet.crossJoin(broadcast(cents))
         .withColumn("_d", cosine(col(cVec), col("cent_vec")))
-        .withColumn("_r", row_number().over(
-          Window.partitionBy(col(cId)).orderBy(col("_d").desc, col("cell"))))
-        .where(col("_r") === 1)
-        .select(col("cell"), col(cId), col(cVec))
-      val perDim = assigned
-        .select(col("cell"), col(cId), posexplode(col(cVec)).as(Seq("_i", "_x")))
-      val dimMean =
+        .groupBy(col(cId))
+        .agg(max_by(struct(col("cell"), col(cVec).as("_v")),
+          struct(col("_d"), negate(col("cell")))).as("_w"))
+        .select(col("_w.cell").as("cell"), col(cId), col("_w._v").as(cVec))
+      cents =
         if (deterministic)
-          perDim.groupBy("cell", "_i").agg(
-            (aggregate(
-              transform(
-                array_sort(collect_list(struct(col(cId).as("k"), col("_x").as("v")))),
-                s => s.getField("v").cast("double")),
-              lit(0.0d), (acc, v) => acc + v) / count(lit(1))).as("_x"))
-        else perDim.groupBy("cell", "_i").agg(avg("_x").as("_x"))
-      cents = dimMean
-        .groupBy("cell").agg(
-          transform(array_sort(collect_list(struct(col("_i"), col("_x")))),
-            s => s.getField("_x")).as("cent_vec"))
+          // native id-sorted sequential fold per cell ([[CentroidMeanSorted]])
+          // — bit-identical to the previous posexplode → per-(cell, dim)
+          // sorted-list fold, in one (cell, id, vec)-row aggregation instead
+          // of an n×dim-row shuffle + interpreted lambda chain
+          assigned.groupBy("cell").agg(
+            CentroidMeanSorted(collect_list(
+              struct(col(cId).cast("long").as("k"), col(cVec).as("vec"))))
+              .as("cent_vec"))
+        else assigned
+          .select(col("cell"), posexplode(col(cVec)).as(Seq("_i", "_x")))
+          .groupBy("cell", "_i").agg(avg("_x").as("_x"))
+          .groupBy("cell").agg(
+            transform(array_sort(collect_list(struct(col("_i"), col("_x")))),
+              s => s.getField("_x")).as("cent_vec"))
     }
 
-    // rank cells PER VECTOR: partition on the caller's id column, not a
-    // positional guess — with the id anywhere but column 0 the head-column
-    // partition would rank across unrelated vectors and silently drop most
-    // of the corpus from the index
+    // rank cells PER VECTOR: key on the caller's id column, not a positional
+    // guess — with the id anywhere but column 0 a head-column key would rank
+    // across unrelated vectors and silently drop most of the corpus from the
+    // index. Top-n via sort of the per-vector 16-struct array collected in
+    // one map-side-combined agg (same (cosine desc, cell) order and
+    // therefore the same selected set as the previous row_number window,
+    // minus its shuffle+sort of every (vector × cell) row).
     def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
       df.crossJoin(broadcast(cents))
         .withColumn("_d", cosine(col(vecCol), col("cent_vec")))
-        .withColumn("_r", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("_d").desc, col("cell"))))
-        .where(col("_r") <= n)
-        .drop("cent_vec", "_d", "_r")
+        .groupBy(col(idCol))
+        .agg(slice(array_sort(collect_list(
+          struct(negate(col("_d")).as("_nd"), col("cell"), col(vecCol).as("_v")))),
+          1, n).as("_top"))
+        .select(col(idCol), explode(col("_top")).as("_t"))
+        .select(col(idCol), col("_t._v").as(vecCol), col("_t.cell").as("cell"))
     }
 
     val corpusCells = assign(corpus, cId, cVec, corpusAssign)

@@ -238,6 +238,15 @@ object SinkOpState {
     val prepped = normalize(batchOps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize the cache AND learn the batch size in one cheap job: the
+      // op count is an upper bound on |changes| rows of the diff merge below
+      // (changes ≤ folded + old ≤ 2×touched identities ≤ 2×ops, and the hint
+      // only sizes the write exchange). Without it MergeInto falls back to
+      // the full bucket×fanout width — a small batch through a 128-partition
+      // exchange shatters into ~256 near-empty files per commit, whose
+      // open/close + footer stats + manifest growth dominate the apply
+      // (the round-2 q01 lesson, re-measured here for q40 in round 6).
+      val nOps = prepped.count()
       val ident = Seq("target", "structure", "key", "field", "elem")
       val touched = prepped.select(ident.map(col): _*).distinct()
       // batch-bounded set broadcast against the state scan: the table side
@@ -277,7 +286,8 @@ object SinkOpState {
             KeyCols.map(col) ++ payload.map(p =>
               col(s"_n_$p").as(p)): _*)
         MergeInto.merge(table, changes, epoch,
-          pipelineId = pipelineId, allowTakeover = allowTakeover)
+          pipelineId = pipelineId, allowTakeover = allowTakeover,
+          rowsHint = 2 * nOps)
       } finally { old.unpersist(); () }
     } finally { prepped.unpersist(); () }
   }
