@@ -91,7 +91,12 @@ object QueryCatalog {
           val t0 = System.nanoTime(); val r = f
           System.err.println(f"[timing] q01-$tag ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
         }
-      val maxPos = timed("cache+maxpos")(input.agg(max("_pos")).head().getLong(0))
+      // _pos IS event_id, so the batching bound comes from a bare column-
+      // pruned parquet scan instead of forcing the cached projection through
+      // a dedicated materialization pass (the cache fills during epoch 0's
+      // merge regardless — every epoch's filter reads all partitions)
+      val maxPos = timed("maxpos")(
+        read(s, dir, "events").agg(max("event_id")).head().getLong(0))
       val nBatches = 8L
       val step = maxPos / nBatches + 1
       timed("merges")((0L until nBatches).foreach { e =>
@@ -487,7 +492,14 @@ object QueryCatalog {
     try {
       val table = SinkOpState.createOrLoad(s,
         s"${newScratch("graft_sinkop")}/state", numBuckets = 8)
-      val maxOrd = ops.agg(max("ord")).head().getLong(0)
+      // epoch-split bound WITHOUT materializing the typed op pipeline in a
+      // dedicated pass (the ops cache fills during epoch 0's identity scan
+      // anyway): runOrdered assigns ord = event_id·16 + i (i < 16), so
+      // max(event_id)·16 + 15 ≥ max(ord) — a cover, not the exact max, and
+      // any cover yields the same final state (all ops land in an epoch;
+      // the fold is associative over epochs)
+      val maxOrd = read(s, dir, "events")
+        .agg(max(col("event_id") * 16 + 15)).head().getLong(0)
       val step = maxOrd / 3 + 1
       (0L until 3L).foreach { e =>
         SinkOpState.applyBatch(table,

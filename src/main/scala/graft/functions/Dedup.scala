@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextFunctions._
 
+  /** Scale-adaptive input widening for CPU-heavy per-document passes
+    * (shingling, minhash/simhash signatures): a corpus that arrives in
+    * fewer splits than cores — locally, one small parquet file — would run
+    * the whole hashing pass on a handful of tasks while the rest of the
+    * machine idles (guide-§2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"). The round-robin exchange
+    * moves each document's bytes exactly once, BEFORE any ×bands/×tables
+    * expansion, and is skipped entirely whenever the scan already carries
+    * enough splits — at 100 TB the condition never fires and the plan is
+    * untouched. Also a plan win when the widened relation is consumed more
+    * than once (signature + verify sides): the consumers share the one
+    * exchange instead of re-running the scan.
+    */
+  private[functions] def widen(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 <= cores) df.repartition(cores) else df
+  }
+
   /** Word n-gram shingles of a text column (falls back to the whole
     * normalized text when shorter than n tokens).
     */
@@ -118,11 +136,12 @@ object Dedup {
       shingleN: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val rows = bandRows(k, bands)
     val toks = tokens(normalized(col(textCol)))
+    val d = widen(df)
     // hashed-shingle SETS for the exact-Jaccard verify (same cardinalities
     // as the string shingles — set semantics preserved by the kernel)
-    val sh = df.select(col(idCol).as("id"), MinHash64.shingleHashes(toks, shingleN).as("sh"))
+    val sh = d.select(col(idCol).as("id"), MinHash64.shingleHashes(toks, shingleN).as("sh"))
     val banded = capBuckets(
-      df.select(col(idCol).as("id"),
+      d.select(col(idCol).as("id"),
         posexplode(lshBandHashes(
           MinHash64.signature(toks, shingleN, k), bands, rows))
           .as(Seq("band", "bh"))),
@@ -169,7 +188,7 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val bands = maxHamming + 1
     require(bands <= 64, s"maxHamming $maxHamming needs more bands than bits")
-    val sigd = df.select(col(idCol).as("id"),
+    val sigd = widen(df).select(col(idCol).as("id"),
       SimHash.simhash64(tokens(normalized(col(textCol)))).as("sig"))
     // disjoint chunk b covers bits [64b/bands, 64(b+1)/bands)
     val chunks = (0 until bands).map { b =>
@@ -210,6 +229,11 @@ object Dedup {
       idCol: String, shingleN: Int = 3, flagRatio: Double = 0.5): DataFrame = {
     def sh(df: DataFrame) = df.select(col(idCol).as("id"),
       MinHash64.shingleHashes(tokens(normalized(col(textCol))), shingleN).as("sh"))
+    // no widen() here: the training side's value is exactly that it reaches
+    // the per-doc aggregation with NO shuffle at all (PlanSpec gate) — the
+    // broadcast semi-join + map-side count is the 100 TB shape, and adding a
+    // repartition to parallelize a 1-split local scan measurably COSTS more
+    // than the single-task hashing saves (0.15 s → 0.27 s at sf0.1)
     val t = sh(train)
     val benchGrams = sh(bench).select(explode(col("sh")).as("h")).distinct()
     val shared = t.select(col("id"), explode(col("sh")).as("h"))
@@ -244,7 +268,7 @@ object Dedup {
       threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
     require(threshold > 0.0,
       s"threshold must be > 0 (zero-overlap pairs are never emitted): $threshold")
-    val p = df.select(col(idCol).as("id"),
+    val p = widen(df).select(col(idCol).as("id"),
       MinHash64.shingleHashes(tokens(normalized(col(textCol))), shingleN).as("sh"))
     val sizes = p.select(col("id"), size(col("sh")).as("n"))
     val grams = p.select(col("id"), explode(col("sh")).as("h"))

@@ -245,7 +245,11 @@ object Similarity {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val l = df.select(col(idCol).as("idA"), col(vecCol).as("vecA"))
+    // widen the STREAMED side: the nested-loop join's parallelism equals its
+    // left input's partition count, and a small local parquet arrives as one
+    // split — n²·dim cosine kernels on a single task (guide §2.5). No-op
+    // whenever the scan is already wide.
+    val l = Dedup.widen(df).select(col(idCol).as("idA"), col(vecCol).as("vecA"))
     val r = df.select(col(idCol).as("idB"), col(vecCol).as("vecB"))
     l.crossJoin(r).where(col("idA") < col("idB"))
       .withColumn("cosine", cosine(col("vecA"), col("vecB")))

@@ -233,22 +233,42 @@ object SinkOpState {
     * ord — ord monotone across batches) to the state table, exactly-once via
     * the engine's (pipelineId, epoch) fence. foreachBatch-ready.
     */
+  private val debugTiming = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](tag: String)(f: => T): T = {
+    if (!debugTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing]   sinkop-$tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+  }
+
   def applyBatch(table: LakeTable, batchOps: DataFrame, epoch: Long,
       pipelineId: String = "", allowTakeover: Boolean = false): MergeResult = {
     val prepped = normalize(batchOps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // materialize the cache AND learn the batch size in one cheap job: the
-      // op count is an upper bound on |changes| rows of the diff merge below
-      // (changes ≤ folded + old ≤ 2×touched identities ≤ 2×ops, and the hint
-      // only sizes the write exchange). Without it MergeInto falls back to
-      // the full bucket×fanout width — a small batch through a 128-partition
-      // exchange shatters into ~256 near-empty files per commit, whose
-      // open/close + footer stats + manifest growth dominate the apply
-      // (the round-2 q01 lesson, re-measured here for q40 in round 6).
-      val nOps = prepped.count()
+      // ONE driver-side job learns the touched-identity set AND the batch
+      // size: the identity set was always batch-bounded (it has to fit in
+      // memory — it is broadcast), so collecting it explicitly costs nothing
+      // new and replaces BOTH the broadcast-exchange's own scan of `prepped`
+      // and a separate count job (~0.5 s/epoch each at bench scale). The op
+      // count feeds `rowsHint`: an upper bound on |changes| rows of the diff
+      // merge below (changes ≤ folded + old ≤ 2×ops), sizing the write
+      // exchange — without it MergeInto falls back to the full bucket×fanout
+      // width and a small batch through a 128-partition exchange shatters
+      // into ~256 near-empty files per commit (the round-2 q01 lesson).
       val ident = Seq("target", "structure", "key", "field", "elem")
-      val touched = prepped.select(ident.map(col): _*).distinct()
+      val identStats = timed("touched")(
+        prepped.groupBy(ident.map(col): _*).agg(count(lit(1)).as("_n")).collect())
+      val nOps = identStats.iterator.map(_.getLong(5)).sum
+      import scala.jdk.CollectionConverters._
+      val touched = prepped.sparkSession.createDataFrame(
+        identStats.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getString(4))).asJava,
+        StructType(ident.map(n => StructField(n, StringType))))
       // batch-bounded set broadcast against the state scan: the table side
       // never shuffles, and parquet row groups outside the touched keyspace
       // are skipped by the join's runtime filter at best, column stats at
@@ -285,9 +305,9 @@ object SinkOpState {
           .select(Seq(col("_op"), col("_pos"), col("_event_ts")) ++
             KeyCols.map(col) ++ payload.map(p =>
               col(s"_n_$p").as(p)): _*)
-        MergeInto.merge(table, changes, epoch,
+        timed("merge")(MergeInto.merge(table, changes, epoch,
           pipelineId = pipelineId, allowTakeover = allowTakeover,
-          rowsHint = 2 * nOps)
+          rowsHint = 2 * nOps))
       } finally { old.unpersist(); () }
     } finally { prepped.unpersist(); () }
   }
