@@ -39,6 +39,19 @@ object Components {
     * self-loops and duplicates tolerated).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 25): DataFrame =
+    vertices.select(col("id"))
+      .join(componentLabels(edges, maxIters), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+
+  /** Converged (id, comp) labels for EDGE-INCIDENT vertices only — the
+    * O(|E|)-sized core of [[connectedComponents]]; the singleton majority
+    * never enters (their comp is their own id by definition). Exposed so
+    * consumers that can exploit the "unlabeled ⇒ singleton" invariant (e.g.
+    * [[dedupClusters]]'s cluster sizes) skip re-deriving per-vertex facts
+    * from the full corpus.
+    */
+  private[functions] def componentLabels(edges: DataFrame,
       maxIters: Int = 25): DataFrame = {
     val sym = edges.select(col("idA").as("src"), col("idB").as("dst"))
       .unionAll(edges.select(col("idB").as("src"), col("idA").as("dst")))
@@ -80,9 +93,7 @@ object Components {
       changed = obs.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next
     }
-    vertices.select(col("id"))
-      .join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    labels
   }
 
   /** End-to-end dedup cluster resolution over a document table: MinHash-LSH
@@ -96,10 +107,19 @@ object Components {
     val pairs = Dedup.minhashNearDupPairs(df, textCol, idCol,
       k = k, bands = bands, threshold = threshold, shingleN = shingleN)
       .select("idA", "idB")
-    val comp = connectedComponents(df.select(col(idCol).as("id")), pairs, maxIters)
-    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "comp")
-      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
-        col("cluster_size"), (col("id") === col("comp")).as("is_canonical"))
+    // Per-cluster facts from the O(|E|)-sized label core only: an unlabeled
+    // doc is a singleton (comp = own id, cluster_size = 1) BY CONSTRUCTION,
+    // so aggregating sizes over the full corpus — and sort-merge-joining
+    // them back across the singleton majority — was pure waste: at 10^10
+    // docs that aggregation alone shuffles every doc id once. One small
+    // labels⋈sizes join, then a single left attach to the corpus.
+    val labels = componentLabels(pairs, maxIters)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    df.select(col(idCol).as("id"))
+      .join(labels.join(sizes, "comp"), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("comp"), col("id")).as("canonical_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (col("id") <=> coalesce(col("comp"), col("id"))).as("is_canonical"))
   }
 }
