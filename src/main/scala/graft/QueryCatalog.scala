@@ -78,7 +78,12 @@ object QueryCatalog {
     * SQL (window LWW). Exercises S1-S4, P5/P10, K6-equivalent MERGE, B2-B5.
     */
   def cdcReplayMerge(s: SparkSession, dir: String): DataFrame = {
-    val input = eventsAsChanges(s, dir)
+    // widen before caching: the events scan is one split locally, so every
+    // epoch's merge map side (scan+project+observe+shuffle write) would run
+    // near-single-task off the cache; one round-robin exchange at cache
+    // build spreads all 8 epochs' scans across the cores (no-op when the
+    // scan is already wide — Dedup.widen's guard)
+    val input = graft.functions.Dedup.widen(eventsAsChanges(s, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tableSchema = org.apache.spark.sql.types.StructType(
@@ -487,7 +492,11 @@ object QueryCatalog {
         }
       }
     }
-    val ops = EventTransform.runOrdered(ev.map(e => (e._1, e)), transform)
+    // widen before caching (same rationale as q01): the typed op pipeline
+    // inherits the 1-split events scan, making every epoch's identity scan
+    // and fold map side near-single-task
+    val ops = graft.functions.Dedup.widen(
+      EventTransform.runOrdered(ev.map(e => (e._1, e)), transform))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val table = SinkOpState.createOrLoad(s,

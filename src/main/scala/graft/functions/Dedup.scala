@@ -34,7 +34,7 @@ object Dedup {
     * than once (signature + verify sides): the consumers share the one
     * exchange instead of re-running the scan.
     */
-  private[functions] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 4 <= cores) df.repartition(cores) else df
   }
