@@ -464,8 +464,11 @@ object QueryCatalog {
   def cdcSinkOpApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.merge.SinkOpState
-    val ev = read(s, dir, "events")
-      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    // widen BEFORE the typed flatMap so the per-event op expansion itself
+    // runs at core parallelism (the events scan is one split locally); the
+    // cached ops relation inherits the width
+    val ev = graft.functions.Dedup.widen(read(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value")))
       .as[(Long, String, Long, Double)]
     val transform = new EventTransform[(Long, String, Long, Double)] {
       def apply(e: (Long, String, Long, Double)): Iterator[SinkOp] = {
@@ -492,11 +495,7 @@ object QueryCatalog {
         }
       }
     }
-    // widen before caching (same rationale as q01): the typed op pipeline
-    // inherits the 1-split events scan, making every epoch's identity scan
-    // and fold map side near-single-task
-    val ops = graft.functions.Dedup.widen(
-      EventTransform.runOrdered(ev.map(e => (e._1, e)), transform))
+    val ops = EventTransform.runOrdered(ev.map(e => (e._1, e)), transform)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val table = SinkOpState.createOrLoad(s,

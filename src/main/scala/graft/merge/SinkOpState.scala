@@ -274,12 +274,31 @@ object SinkOpState {
       // are skipped by the join's runtime filter at best, column stats at
       // least. (At 10^10-row state the win is not scanning: state is
       // bucketed by key, and the scan prunes via min/max on `key`.)
+      // Fresh-table fast path: with no data files there is no prior state,
+      // so the semi-join scan, the state-as-ops union and the full-outer
+      // diff are provably empty subtrees — every folded row is an insert.
+      // Saves the bootstrap epoch's 2-3 sequential exchanges + a cache;
+      // identical result (the diff against an empty `old` marks everything
+      // OpInsert and nothing OpDelete).
+      val stateEmpty = table.refresh().files.isEmpty
+      val batchOnly = prepped.select(
+        "target", "action", "key", "field", "score", "value", "ord")
+      if (stateEmpty) {
+        val changes = fold(batchOnly)
+          .withColumn("_op", lit(OpInsert))
+          .withColumn("_pos", lit(epoch))
+          .withColumn("_event_ts", lit(null).cast("timestamp"))
+          .select(Seq(col("_op"), col("_pos"), col("_event_ts")) ++
+            StateSchema.fieldNames.toSeq.map(col): _*)
+        return timed("merge")(MergeInto.merge(table, changes, epoch,
+          pipelineId = pipelineId, allowTakeover = allowTakeover,
+          rowsHint = 2 * nOps))
+      }
       val old = table.snapshot()
         .join(broadcast(touched), ident, "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val folded = fold(stateAsOps(old).unionByName(
-          prepped.select("target", "action", "key", "field", "score", "value", "ord")))
+        val folded = fold(stateAsOps(old).unionByName(batchOnly))
         // diff old vs folded in ONE full-outer join, one pass (except/
         // exceptAll would cost two extra aggregate shuffles per batch):
         // new-only or payload-changed → upsert; old-only → delete;
