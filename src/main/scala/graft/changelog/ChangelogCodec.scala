@@ -80,9 +80,22 @@ object ChangelogCodec {
     *
     * `_pos` (the engine's monotone coordinate) is derived in preference
     * order from the source block: `lsn` (Postgres, already monotone) →
-    * `fileIndex << 32 | pos` (MySQL binlog file+offset; a binlog file is
-    * capped at 1 GiB so the offset always fits 32 bits) → envelope `ts_ms`
-    * (last resort: event-time order).
+    * `fileIndex << 32 | pos` (MySQL binlog file+offset; the offset is
+    * VALIDATED to fit 32 bits and the decode fails loudly past that — a
+    * single huge transaction can push a binlog file beyond `max_binlog_size`,
+    * and silently wrapping would collide with the next file's coordinates) →
+    * envelope `ts_ms` (last resort: event-time order).
+    *
+    * Non-envelope records are never silently merged: a row that parses to
+    * a null envelope / null `op` — a Debezium post-delete tombstone
+    * (`tombstones.on.delete` emits one after every delete), a blank line,
+    * truncated JSON — previously fell through to an all-null-key UPSERT;
+    * now the decode RAISES on it with the offending line. Callers feeding
+    * a raw topic dump must strip tombstone/junk lines at the SOURCE (the
+    * `wire_format: debezium` ingest filters lines without an `"op"` key on
+    * the text scan, where the predicate is free) — inside the decode any
+    * skip-filter gets pushed below the parse projection and re-evaluates
+    * the wire per conjunct (measured ×3).
     *
     * Kafka-Connect's JsonConverter with `schemas.enable=true` wraps the
     * envelope as `{"schema":…,"payload":{…}}` — detected per row via a cheap
@@ -111,16 +124,38 @@ object ChangelogCodec {
     // re-inlining from_json into each would re-parse per column (Catalyst's
     // CollapseProject keeps the boundary — it never duplicates a non-cheap
     // expression with multiple references)
-    val parsed = wire.select(from_json(payload, envSchema).as("e"))
+    // `valueCol` rides along only to appear in the undecodable-wire error
+    val parsed = wire.select(col(valueCol), from_json(payload, envSchema).as("e"))
     val e = col("e")
+    // a null envelope / null op (tombstone, blank line, truncated JSON)
+    // RAISES instead of upserting an all-null image — the fail-loudly
+    // policy of SinkOpState.normalize. Free: one never-taken CASE branch.
+    // Any added skip-FILTER here would be pushed below the projection and
+    // re-evaluate the wire per conjunct (from_json ×3, or the caller's
+    // envelope synthesis ×2 — both measured); row elimination therefore
+    // belongs to the caller's SOURCE, where a text-scan filter is free —
+    // see the `wire_format: debezium` ingest in ConfigPipeline.
     val opCol = when(e("op") === "d", OpDelete)
       .when(e("op") === "u", OpUpdate)
-      .otherwise(OpInsert) // c, r (snapshot read), unknown → upsert
+      .when(e("op").isNotNull, OpInsert) // c, r (snapshot read), unknown → upsert
+      .otherwise(raise_error(concat(
+        lit("decodeDebezium: undecodable envelope (tombstone, blank or " +
+          "invalid JSON — filter non-envelope records before decoding, " +
+          "as the debezium wire_format pipeline does): "),
+        col(valueCol))).cast("string"))
     val src = e("source")
+    val filePos = coalesce(src("pos"), lit(0L))
     val posCol = when(src("lsn").isNotNull, src("lsn"))
       .when(src("file").isNotNull,
         shiftleft(regexp_extract(src("file"), "(\\d+)$", 1)
-          .cast("long"), 32) + coalesce(src("pos"), lit(0L)))
+          .cast("long"), 32) +
+          // 32-bit validation (see scaladoc): assert_true is null on
+          // success, so the coalesce is the offset itself — and a raise
+          // past 2^32-1 instead of a silent cross-file collision
+          coalesce(assert_true(filePos.between(0L, 0xFFFFFFFFL),
+            lit("decodeDebezium: source.pos exceeds 32 bits — binlog " +
+              "coordinates would collide across files")).cast("long"),
+            filePos))
       .otherwise(coalesce(e("ts_ms"), src("ts_ms"), lit(0L)))
     val tsCol = timestamp_millis(coalesce(e("ts_ms"), src("ts_ms")))
     val img = when(opCol === OpDelete, e("before")).otherwise(e("after"))

@@ -242,10 +242,17 @@ object Dedup {
     t.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
       .join(shared, Seq("id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      // gramless docs (empty/whitespace text, or fewer tokens than
+      // shingleN) can't leak anything: without the n_grams > 0 guard the
+      // comparison degenerates to 0 >= 0 = true (and overlap to 0/0 = NaN)
+      // and blank training docs would be dropped as eval contamination
       .withColumn("overlap",
-        round(col("n_shared").cast("double") / col("n_grams"), 6))
+        when(col("n_grams") > 0,
+          round(col("n_shared").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
       .withColumn("contaminated",
-        col("n_shared").cast("double") >= lit(flagRatio) * col("n_grams"))
+        col("n_grams") > 0 &&
+          col("n_shared").cast("double") >= lit(flagRatio) * col("n_grams"))
       .select(col("id").as(idCol), col("n_grams"), col("n_shared"),
         col("overlap"), col("contaminated"))
   }

@@ -43,8 +43,21 @@ object Packing {
       return df.select(col(idCol), col(lenCol).cast("long").as("n_tokens"),
         lit(0L).as("tok_before"), lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(hi - lo + 1, 1L)
+    // sparse 64-bit id domains (snowflake ids and the like) overflow the
+    // Long arithmetic below twice over: hi-lo+1 can wrap here, and
+    // (id-lo)·shards can wrap per row. Fail loudly at the driver instead of
+    // silently mis-sharding (or dying mid-job under ANSI); densify ids
+    // (zipWithIndex) before packing such domains. The formula itself is
+    // kept as-is — a divide-first variant rounds differently at shard
+    // boundaries, changing the (oracle-pinned) shard assignment.
+    def sparseDomain(): Nothing = throw new IllegalArgumentException(
+      s"packSequences: id span [$lo, $hi] × $nShards shards overflows " +
+        "Long — densify the id domain before packing")
+    val span =
+      try math.max(math.addExact(math.subtractExact(hi, lo), 1L), 1L)
+      catch { case _: ArithmeticException => sparseDomain() }
     val shards = math.max(1, math.min(nShards.toLong, span)).toInt
+    if (shards > 1 && span - 1 > Long.MaxValue / shards) sparseDomain()
     // order-preserving uniform split of the id range: id → shard is
     // monotone, so shard-major + within-shard id order == global id order
     val shardOf = ((col(idCol).cast("long") - lo) * shards / span).cast("int")

@@ -52,6 +52,12 @@ object ExprTransform {
       s"at most ${EventTransform.MaxOpsPerEvent} ops per route (ord encoding)")
     require(df.columns.contains("_pos"),
       "runOrdered needs the decoded _pos column for the op order")
+    // _pos·16 wraps past Long.MaxValue/16 (and a MySQL fileIndex<<32|pos
+    // coordinate can reach that if the 32-bit offset validation upstream is
+    // bypassed): bound-check at runtime — assert_true is null on success,
+    // so the coalesce is the ord itself, and out-of-range rows raise
+    // instead of silently reordering the op stream
+    val ordBound = Long.MaxValue / EventTransform.MaxOpsPerEvent
     ops.zipWithIndex.map { case (o, i) =>
       df.where(expr(o.when)).select(
         lit(o.target).as("target"),
@@ -60,7 +66,11 @@ object ExprTransform {
         expr(o.field).cast("string").as("field"),
         expr(o.score).cast("double").as("score"),
         expr(o.value).cast("string").as("value"),
-        (col("_pos") * EventTransform.MaxOpsPerEvent + i).cast("long").as("ord"))
+        coalesce(assert_true(col("_pos").between(-ordBound, ordBound),
+            lit(s"runOrdered: |_pos| > $ordBound overflows the ord " +
+              "encoding (_pos*16+i)")).cast("long"),
+          (col("_pos") * EventTransform.MaxOpsPerEvent + i).cast("long"))
+          .as("ord"))
     }.reduce(_ unionAll _)
   }
 }

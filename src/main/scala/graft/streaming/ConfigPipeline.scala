@@ -447,16 +447,26 @@ object ConfigPipeline {
     val retryCfg = CdcPipeline.Config(c.changelogDir, c.checkpointDir)
     val wire = c.wireFormat match {
       case "debezium" =>
-        // a Debezium topic dump: JSON-lines files, one envelope per line
+        // a Debezium topic dump: JSON-lines files, one envelope per line.
+        // Tombstones (null-value records Debezium emits after deletes),
+        // blank lines and non-envelope junk cannot contain an `"op"` key —
+        // dropped HERE on the text scan where the predicate is free;
+        // decodeDebezium raises on anything op-less that slips past
+        // (see its scaladoc for why the skip cannot live inside the decode)
         spark.readStream
           .option("maxFilesPerTrigger", c.maxFilesPerTrigger)
           .text(c.changelogDir)
+          .where(instr(col("value"), "\"op\"") > 0)
       case "table" =>
         // tail another lake table's commits (pipeline chaining). Default
         // start = version 1: a fresh downstream replays the full retained
-        // history and starts complete (its own checkpoint dedups across
-        // restarts; history beyond the upstream's vacuum retention needs a
-        // Bootstrap first). table_start_version: 0 tails from NOW instead.
+        // delta history and starts complete PROVIDED every replayed commit
+        // is delta-carrying (MOR merges) — cow/bootstrap commits land base
+        // files the tail cannot emit, and GraftStreamSource warns loudly on
+        // a fresh replay that spans one (Bootstrap the downstream first).
+        // Its own checkpoint dedups across restarts; history beyond the
+        // upstream's vacuum retention needs a Bootstrap first.
+        // table_start_version: 0 tails from NOW instead.
         val r = spark.readStream.format("graft")
         (if (c.tableStartVersion > 0)
           r.option("startingVersion", c.tableStartVersion.toString)
